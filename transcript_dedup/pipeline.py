@@ -1,0 +1,167 @@
+"""End-to-end pipeline orchestration with checkpoint/resume.
+
+Stage graph (each stage commits one TableIO snapshot + one metrics row,
+so a killed run resumes from the last committed stage — the scaled-out
+version of the reference's scan-state resume,
+/root/reference/src/index.ts:140-160, :186):
+
+  turns --reconstruct+signatures--> conversations
+        --exact+lsh+substring-----> candidate_pairs (verified + scored)
+        --connected components----> components
+        --rule cascade------------> decisions  (+ conflict invariant check)
+
+Resume semantics: a stage is skipped iff its table's current snapshot was
+committed with the same fingerprint = hash(input fingerprint, config,
+upstream snapshot ids). Changing the config or the input invalidates
+downstream stages automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cluster import connected_components
+from .config import DedupConfig
+from .decide import find_conflicts, make_decisions
+from .detectors import (
+    exact_candidates,
+    lsh_candidates,
+    substring_candidates,
+    verify_candidates,
+)
+from .io import TableIO
+from .metrics import MetricsLog, StageTimer, partition_counts
+from .reconstruct import reconstruct_conversations
+from .signatures import add_signatures
+
+
+def _fp(*parts) -> str:
+    return hashlib.sha256("|".join(str(p) for p in parts).encode()).hexdigest()[:16]
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        cfg: DedupConfig | None = None,
+        run_id: str = "run-0",
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.io = TableIO(out_dir)
+        self.metrics = MetricsLog(self.io, run_id)
+        self.cfg_fp = _fp(json.dumps(asdict(self.cfg), sort_keys=True, default=str))
+
+    # ------------------------------------------------------------------
+    def _stage(self, name: str, fingerprint: str, build, rows_in: int, resume: bool):
+        """Run one stage with resume + metrics; returns (df, snapshot_id)."""
+        if resume and self.io.has_fingerprint(name, fingerprint):
+            snap = self.io.current_snapshot(name)
+            return self.io.read(self.spark, name), snap["id"]
+        t = StageTimer()
+        counters: dict = {}
+        df = build(counters)
+        snap_id = self.io.write(df, name, fingerprint=fingerprint)
+        out = self.io.read(self.spark, name)
+        self.metrics.log_stage(
+            name,
+            snap_id,
+            rows_in,
+            self.io.current_snapshot(name)["rows"],
+            t.ms(),
+            counters=counters,
+            partitions=partition_counts(out),
+        )
+        return out, snap_id
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        turns: DataFrame,
+        input_fingerprint: str = "adhoc",
+        resume: bool = True,
+        substring_verify_mode: str = "suffix_array",
+    ) -> dict:
+        """Run (or resume) the full pipeline; returns dict of DataFrames."""
+        cfg = self.cfg
+        n_turns = turns.count()
+
+        fp_conv = _fp("conversations", input_fingerprint, self.cfg_fp)
+        conv, snap_conv = self._stage(
+            "conversations",
+            fp_conv,
+            lambda c: add_signatures(reconstruct_conversations(turns), cfg),
+            n_turns,
+            resume,
+        )
+
+        n_conv = conv.count()
+
+        def build_pairs(counters):
+            cand = (
+                exact_candidates(conv)
+                .unionByName(lsh_candidates(conv, cfg, counters))
+                .unionByName(
+                    substring_candidates(
+                        conv, cfg, counters, verify_mode=substring_verify_mode
+                    )
+                )
+            )
+            return verify_candidates(cand, conv, cfg)
+
+        fp_pairs = _fp("candidate_pairs", fp_conv, snap_conv)
+        pairs, snap_pairs = self._stage(
+            "candidate_pairs", fp_pairs, build_pairs, n_conv, resume
+        )
+
+        fp_comp = _fp("components", fp_pairs, snap_pairs)
+        comps, snap_comp = self._stage(
+            "components",
+            fp_comp,
+            lambda c: connected_components(pairs.filter("is_match"), cfg, c),
+            self.io.current_snapshot("candidate_pairs")["rows"],
+            resume,
+        )
+
+        fp_dec = _fp("decisions", fp_comp, snap_comp)
+        decisions, _ = self._stage(
+            "decisions",
+            fp_dec,
+            lambda c: make_decisions(comps, conv, pairs, cfg),
+            self.io.current_snapshot("components")["rows"],
+            resume,
+        )
+
+        conflicts = find_conflicts(decisions)
+        n_conflicts = conflicts.count()
+        if n_conflicts:
+            raise AssertionError(
+                f"keep/delete conflict invariant violated: {n_conflicts} files"
+            )
+
+        self.metrics.flush(self.spark)
+        return {
+            "conversations": conv,
+            "candidate_pairs": pairs,
+            "components": comps,
+            "decisions": decisions,
+        }
+
+
+def closure_pairs(components: DataFrame) -> DataFrame:
+    """All within-component pairs (the transitive-closure pair set the
+    recall target is measured over — README.md:60 'Groups are built
+    transitively')."""
+    a = components.toDF("conv_a", "component_id")
+    b = components.toDF("conv_b", "component_id")
+    return (
+        a.join(b, "component_id")
+        .filter(F.col("conv_a") < F.col("conv_b"))
+        .select("conv_a", "conv_b")
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory.
+
+One place for the scale-relevant session config so tests, bench, and the
+driver entrypoint all run the same way:
+
+- AQE on (plan re-opt, skew-join splitting, partition coalescing) — the free
+  half of the skew story (SURVEY.md section 4.2); explicit band-key salting in
+  detectors/lsh.py is the custom half.
+- Arrow transfer on, with a bounded batch size so the signature kernels see
+  coarse-but-bounded pandas batches.
+- UTC session timezone (DuckDB oracle comparisons are UTC-naive).
+- shuffle partitions ~ cores for local mode; a real cluster submit would set
+  this to ~2-3x total cores via spark-submit conf instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship transcript_dedup to executor Python workers (the local-mode
+    equivalent of ``spark-submit --py-files transcript_dedup.zip``).
+
+    Without this, mapInPandas/applyInPandas kernels fail to unpickle on
+    workers whenever the driver script runs from outside the repo root.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="tdship"), "transcript_dedup")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "transcript_dedup")
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(
+    app_name: str = "transcript-dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_MASTER", None)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] -> N; local[*] / cluster -> 32 default
+        inner = master[master.find("[") + 1 : master.rfind("]")] if "[" in master else "*"
+        shuffle_partitions = int(inner) if inner.isdigit() else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def stop_spark(spark: SparkSession) -> None:
+    """Stop fully (needed between local[8] / local[32] bench phases)."""
+    spark.stop()
+    # clear the JVM-wide active/default session so a fresh master takes effect
+    SparkSession.builder._options = {}
