@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full dedup (exact + LSH + substring ->
+connected components) over the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md section 2, expressed over the driver's testdata
+tables; DuckDB-dialect oracles included for every SQL-expressible
+operator. Engine-kernel entries (MinHash signatures, LSH, transcript
+pipeline) are rows-only where DuckDB cannot express them; the substring
+detector DOES carry an exact O(n^2) SQL oracle — its sampled-gram +
+suffix-array dataflow is guaranteed to find exactly the true containments.
+
+Column names are aliased identically on both sides; money-ish aggregates
+go through decimal casts (not double sums) so value hashes are exact;
+float similarity scores are rounded on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +22,571 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _register(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Normalization shared snippets (F1 chain — SURVEY.md 2.7 F1; the exact
+# /root/reference/src/duplicates.ts:150-156 regex chain in two dialects)
+# --------------------------------------------------------------------------
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\\\w\\\\s]', ''), "
+    "'\\\\s+', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def _sql_pair(spark_sql: str, duck_sql: str, tables: list[str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    return run, duck_sql
+
+
+_REGISTRY: dict[str, tuple] = {}
+
+
+def _add(name: str, spark_sql: str, duck_sql: str, tables: list[str]) -> None:
+    _REGISTRY[name] = _sql_pair(spark_sql, duck_sql, tables)
+
+
+# ---- F1/F5: normalization + fingerprint (SURVEY 2.7) -----------------------
+_add(
+    "doc_normalize",
+    f"""
+    SELECT doc_id,
+           {_NORM_SPARK.format(c='text')} AS norm_text,
+           md5({_NORM_SPARK.format(c='text')}) AS fingerprint
+    FROM documents
+    """,
+    f"""
+    SELECT doc_id,
+           {_NORM_DUCK.format(c='text')} AS norm_text,
+           md5({_NORM_DUCK.format(c='text')}) AS fingerprint
+    FROM documents
+    """,
+    ["documents"],
+)
+
+# ---- A1/A2 analogues: token / quality stats (training-data text analysis) --
+_add(
+    "doc_token_stats",
+    f"""
+    WITH n AS (SELECT doc_id, text, {_NORM_SPARK.format(c='text')} AS norm FROM documents)
+    SELECT doc_id,
+           size(split(norm, ' ')) AS n_tokens,
+           length(norm) AS n_norm_chars,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ ]', ''))) /
+                 cast(length(text) AS double), 6) AS punct_ratio,
+           round(cast(length(norm) - size(split(norm, ' ')) + 1 AS double) /
+                 size(split(norm, ' ')), 6) AS avg_token_len
+    FROM n WHERE length(norm) > 0
+    """,
+    f"""
+    WITH n AS (SELECT doc_id, text, {_NORM_DUCK.format(c='text')} AS norm FROM documents)
+    SELECT doc_id,
+           len(string_split(norm, ' ')) AS n_tokens,
+           length(norm) AS n_norm_chars,
+           round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9_ ]', '', 'g'))) /
+                 cast(length(text) AS double), 6) AS punct_ratio,
+           round(cast(length(norm) - len(string_split(norm, ' ')) + 1 AS double) /
+                 len(string_split(norm, ' ')), 6) AS avg_token_len
+    FROM n WHERE length(norm) > 0
+    """,
+    ["documents"],
+)
+
+# ---- language-ID heuristic (stopword ratio) ---------------------------------
+_STOP = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+_add(
+    "doc_lang_stopword",
+    f"""
+    WITH n AS (SELECT doc_id, lang, {_NORM_SPARK.format(c='text')} AS norm FROM documents)
+    SELECT doc_id, lang,
+           round(size(filter(split(norm, ' '), t -> t IN {_STOP})) /
+                 cast(size(split(norm, ' ')) AS double), 6) AS stop_ratio,
+           size(filter(split(norm, ' '), t -> t IN {_STOP})) >=
+             0.05 * size(split(norm, ' ')) AS looks_en
+    FROM n WHERE length(norm) > 0
+    """,
+    f"""
+    WITH n AS (SELECT doc_id, lang, {_NORM_DUCK.format(c='text')} AS norm FROM documents)
+    SELECT doc_id, lang,
+           round(len(list_filter(string_split(norm, ' '), t -> t IN {_STOP})) /
+                 cast(len(string_split(norm, ' ')) AS double), 6) AS stop_ratio,
+           len(list_filter(string_split(norm, ' '), t -> t IN {_STOP})) >=
+             0.05 * len(string_split(norm, ' ')) AS looks_en
+    FROM n WHERE length(norm) > 0
+    """,
+    ["documents"],
+)
+
+# ---- J3: exact-dup blocking self-join (content-hash equality) ---------------
+_EXACT_PAIR_SPARK = f"""
+    WITH f AS (SELECT doc_id, md5({_NORM_SPARK.format(c='text')}) AS fp FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fingerprint
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+_EXACT_PAIR_DUCK = f"""
+    WITH f AS (SELECT doc_id, md5({_NORM_DUCK.format(c='text')}) AS fp FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fingerprint
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+_add("doc_exact_dup_pairs", _EXACT_PAIR_SPARK, _EXACT_PAIR_DUCK, ["documents"])
+
+# ---- A3/W2: argmax representative per fingerprint group --------------------
+_add(
+    "doc_dup_groups_argmax",
+    f"""
+    WITH f AS (SELECT doc_id, n_chars, md5({_NORM_SPARK.format(c='text')}) AS fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS group_size
+          FROM f)
+    SELECT fp AS fingerprint, doc_id AS representative, group_size
+    FROM r WHERE rn = 1
+    """,
+    f"""
+    WITH f AS (SELECT doc_id, n_chars, md5({_NORM_DUCK.format(c='text')}) AS fp
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS group_size
+          FROM f)
+    SELECT fp AS fingerprint, doc_id AS representative, group_size
+    FROM r WHERE rn = 1
+    """,
+    ["documents"],
+)
+
+# ---- J4+J5: length-band blocking + Levenshtein verify (duration band +
+#      fuzzy filename analogue, duplicates.ts:85-95, :110-140) ---------------
+_LEV_SPARK = """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) AS lev_dist,
+           round(1.0D - levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) / 60.0D, 6) AS lev_sim
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id < b.doc_id
+"""
+_LEV_DUCK = """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) AS lev_dist,
+           round(1.0 - levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60)) / 60.0, 6) AS lev_sim
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2 AND a.doc_id < b.doc_id
+"""
+_add("doc_blocking_lev_pairs", _LEV_SPARK, _LEV_DUCK, ["documents"])
+
+# ---- n-gram Jaccard near-dup pairs (training-data dedup op) -----------------
+_add(
+    "doc_ngram_jaccard_pairs",
+    f"""
+    WITH n AS (SELECT doc_id, split({_NORM_SPARK.format(c='text')}, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3),
+                 i -> concat_ws(' ', slice(t, i + 1, 3))))) AS gram
+          FROM n WHERE size(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double) >= 0.05
+    """,
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
+          FROM n WHERE len(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double) >= 0.05
+    """,
+    ["documents"],
+)
+
+# ---- SO1: union of pair memberships (index.ts:435-441) ----------------------
+_add(
+    "doc_pair_members",
+    f"""
+    WITH p AS ({_EXACT_PAIR_SPARK}), l AS ({_LEV_SPARK})
+    SELECT DISTINCT doc_id FROM (
+      SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p
+      UNION ALL SELECT doc_a FROM l WHERE lev_sim >= 0.2
+      UNION ALL SELECT doc_b FROM l WHERE lev_sim >= 0.2
+    )
+    """,
+    f"""
+    WITH p AS ({_EXACT_PAIR_DUCK}), l AS ({_LEV_DUCK})
+    SELECT DISTINCT doc_id FROM (
+      SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p
+      UNION ALL SELECT doc_a FROM l WHERE lev_sim >= 0.2
+      UNION ALL SELECT doc_b FROM l WHERE lev_sim >= 0.2
+    )
+    """,
+    ["documents"],
+)
+
+# ---- S7/J8: incremental-scan anti-join resume (index.ts:186) ----------------
+_add(
+    "doc_resume_anti_join",
+    """
+    SELECT d.lang, count(*) AS n_pending
+    FROM documents d LEFT ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) done
+      ON d.doc_id = done.doc_id
+    GROUP BY d.lang
+    """,
+    """
+    SELECT d.lang, count(*) AS n_pending
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+    GROUP BY d.lang
+    """,
+    ["documents"],
+)
+
+# ---- A9: multi-membership HAVING (find-conflicts.ts:91-96) ------------------
+_add(
+    "source_multilang_having",
+    """
+    SELECT source, count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source HAVING count(DISTINCT lang) > 1
+    """,
+    """
+    SELECT source, count(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source HAVING count(DISTINCT lang) > 1
+    """,
+    ["documents"],
+)
+
+# ---- S5: NDJSON keyed-map last-write-wins (index.ts:112-132) ----------------
+_add(
+    "events_last_write_wins",
+    """
+    WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM r WHERE rn = 1
+    """,
+    """
+    WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM r WHERE rn = 1
+    """,
+    ["events"],
+)
+
+# ---- W: sessionization (gap > 30 min) ---------------------------------------
+_add(
+    "events_sessionize",
+    """
+    WITH w AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events),
+    s AS (SELECT user_id,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR (unix_timestamp(ts) - unix_timestamp(prev_ts)) > 1800
+                          THEN 1 ELSE 0 END) AS n_sessions_raw,
+                 count(*) AS n_events
+          FROM w GROUP BY user_id)
+    SELECT user_id, cast(n_sessions_raw AS bigint) AS n_sessions, n_events FROM s
+    """,
+    """
+    WITH w AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events),
+    s AS (SELECT user_id,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR (epoch(ts) - epoch(prev_ts)) > 1800
+                          THEN 1 ELSE 0 END) AS n_sessions_raw,
+                 count(*) AS n_events
+          FROM w GROUP BY user_id)
+    SELECT user_id, cast(n_sessions_raw AS bigint) AS n_sessions, n_events FROM s
+    """,
+    ["events"],
+)
+
+# ---- W5: MRU truncation (cache.ts:59-67: keep 20 most recent) ---------------
+_add(
+    "events_mru20",
+    """
+    WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, count(*) AS n_recent, cast(sum(cast(value AS decimal(18,2))) AS double) AS recent_value
+    FROM r WHERE rn <= 20 GROUP BY user_id
+    """,
+    """
+    WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id, count(*) AS n_recent, cast(sum(cast(value AS decimal(18,2))) AS double) AS recent_value
+    FROM r WHERE rn <= 20 GROUP BY user_id
+    """,
+    ["events"],
+)
+
+# ---- A5/A12 rollup ----------------------------------------------------------
+_add(
+    "events_type_rollup",
+    """
+    SELECT event_type, count(*) AS n,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+           round(avg(cast(value AS double)), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    """
+    SELECT event_type, count(*) AS n,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+           round(avg(cast(value AS double)), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    ["events"],
+)
+
+# ---- TPC-H Q1-style pricing summary (generic agg coverage) ------------------
+_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+           cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+_add("tpch_q1_pricing", _Q1, _Q1, ["lineitem"])
+
+# ---- join + agg + top-N with total order ------------------------------------
+_TOPCUST = """
+    SELECT c.c_custkey, c.c_name,
+           cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+"""
+_add("top10_customers", _TOPCUST, _TOPCUST, ["orders", "customer"])
+
+# ---- W2-ish ranking ----------------------------------------------------------
+_TOP3 = """
+    WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+               FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM r WHERE rnk <= 3
+"""
+_add("orders_top3_per_customer", _TOP3, _TOP3, ["orders"])
+
+# ---- multi-join rollup --------------------------------------------------------
+_BRAND = """
+    SELECT p.p_brand, count(*) AS n_items,
+           cast(sum(cast(l.l_quantity AS decimal(18,2))) AS double) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+"""
+_add("brand_lineitem_rollup", _BRAND, _BRAND, ["lineitem", "part"])
+
+# ---- ANN: brute-force cosine top-k vs query vector (similarity search) ------
+_add(
+    "ann_cosine_top10",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, e.label,
+                 round(aggregate(zip_with(e.embedding, q.qv, (x, y) -> cast(x AS double) * cast(y AS double)),
+                                 0D, (acc, v) -> acc + v) /
+                       (sqrt(aggregate(transform(e.embedding, x -> cast(x AS double) * cast(x AS double)),
+                                       0D, (acc, v) -> acc + v)) *
+                        sqrt(aggregate(transform(q.qv, x -> cast(x AS double) * cast(x AS double)),
+                                       0D, (acc, v) -> acc + v))), 4) AS cosine
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+    SELECT vec_id, label, cosine FROM s
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, e.label,
+                 round(list_dot_product(list_transform(e.embedding, x -> cast(x AS double)),
+                                        list_transform(q.qv, x -> cast(x AS double))) /
+                       (sqrt(list_dot_product(list_transform(e.embedding, x -> cast(x AS double)),
+                                              list_transform(e.embedding, x -> cast(x AS double)))) *
+                        sqrt(list_dot_product(list_transform(q.qv, x -> cast(x AS double)),
+                                              list_transform(q.qv, x -> cast(x AS double))))), 4) AS cosine
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+    SELECT vec_id, label, cosine FROM s
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    ["embeddings"],
+)
+
+# ---- kNN join: top-5 neighbors for each of the first 5 vectors --------------
+_add(
+    "knn_join_5x5",
+    """
+    WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT qs.qid, e.vec_id,
+                 round(aggregate(zip_with(e.embedding, qs.qv, (x, y) -> cast(x AS double) * cast(y AS double)),
+                                 0D, (acc, v) -> acc + v) /
+                       (sqrt(aggregate(transform(e.embedding, x -> cast(x AS double) * cast(x AS double)),
+                                       0D, (acc, v) -> acc + v)) *
+                        sqrt(aggregate(transform(qs.qv, x -> cast(x AS double) * cast(x AS double)),
+                                       0D, (acc, v) -> acc + v))), 4) AS cosine
+          FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+    SELECT qid, vec_id AS neighbor, cosine, rn AS rank FROM r WHERE rn <= 5
+    """,
+    """
+    WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT qs.qid, e.vec_id,
+                 round(list_dot_product(list_transform(e.embedding, x -> cast(x AS double)),
+                                        list_transform(qs.qv, x -> cast(x AS double))) /
+                       (sqrt(list_dot_product(list_transform(e.embedding, x -> cast(x AS double)),
+                                              list_transform(e.embedding, x -> cast(x AS double)))) *
+                        sqrt(list_dot_product(list_transform(qs.qv, x -> cast(x AS double)),
+                                              list_transform(qs.qv, x -> cast(x AS double))))), 4) AS cosine
+          FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn FROM s)
+    SELECT qid, vec_id AS neighbor, cosine, rn AS rank FROM r WHERE rn <= 5
+    """,
+    ["embeddings"],
+)
+
+
+# --------------------------------------------------------------------------
+# Engine-native entries (kernel/iterative dataflow)
+# --------------------------------------------------------------------------
+
+def _q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring containment via sampled grams + suffix-array verify —
+    finds exactly the true containments, so the O(n^2) SQL oracle matches."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.detectors.substring import substring_candidates
+    from transcript_dedup.documents import signed_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    conv = signed_records(docs, DedupConfig())
+    pairs = substring_candidates(conv, DedupConfig())
+    return pairs.select(
+        F.col("conv_a").cast("bigint").alias("doc_a"),
+        F.col("conv_b").cast("bigint").alias("doc_b"),
+    )
+
+
+_SUBSTR_ORACLE = f"""
+    WITH n AS (SELECT doc_id, {_NORM_DUCK.format(c='text')} AS norm FROM documents)
+    SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM n a JOIN n b
+      ON length(a.norm) < length(b.norm) AND length(a.norm) > 0
+     AND position(a.norm IN b.norm) > 0
+"""
+
+
+def _q_doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full three-detector dedup + connected components over the
+    documents table; every doc gets a cluster id (own id if unique)."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.documents import signed_records
+    from transcript_dedup.pipeline import run_dedup_dataframes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    conv = signed_records(docs, DedupConfig())
+    res = run_dedup_dataframes(conv)
+    comp = res["components"]
+    out = (
+        conv.select("conv_id")
+        .join(comp, "conv_id", "left")
+        .select(
+            F.col("conv_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("component_id"), F.col("conv_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )
+    return out
+
+
+def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript dedup on the deterministic generated corpus
+    (seed=42): decisions summary. Engine-only (iterative CC + Arrow kernels)
+    -> rows-only driver check."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.generate import corpus_to_spark, generate_corpus
+    from transcript_dedup.pipeline import run_dedup_dataframes
+    from transcript_dedup.reconstruct import reconstruct_conversations
+    from transcript_dedup.signatures import add_signatures
+
+    turns = corpus_to_spark(spark, generate_corpus(200, seed=42)[0])
+    conv = add_signatures(reconstruct_conversations(turns), DedupConfig())
+    res = run_dedup_dataframes(conv)
+    return (
+        res["decisions"]
+        .select(
+            "group_id",
+            F.concat_ws(",", "keep").alias("keep"),
+            F.concat_ws(",", "delete").alias("delete"),
+            "rule_applied",
+            "decision_type",
+            "min_confidence",
+            "size",
+        )
+        .orderBy("group_id")
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_doc_dedup_components(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    out["doc_substring_pairs"] = _q_doc_substring_pairs
+    out["doc_dedup_components"] = _q_doc_dedup_components
+    out["transcript_decisions"] = _q_transcript_decisions
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: sql for name, (_fn, sql) in _REGISTRY.items()}
+    out["doc_substring_pairs"] = _SUBSTR_ORACLE
+    # doc_dedup_components / transcript_decisions: LSH + iterative CC are not
+    # SQL-expressible in DuckDB -> rows-only checks.
+    return out

@@ -1,0 +1,140 @@
+"""Benchmark harness.
+
+Phase A — headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Phase B — north-rule scaling evidence: the full transcript dedup pipeline
+(reconstruct -> signatures -> 3 detectors -> verify -> CC -> decisions) on a
+deterministic generated corpus, run at local[32] and local[8] (sandbox proxy
+for N vs 4N executors). Reports conversations/sec at both and scaling
+efficiency = (T8_wall / T32_wall) / 4.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "dedup": {...scaling fields...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
+# scaling levels: this VM exposes 32 vCPUs but saturates ~16 cores' worth of
+# throughput (measured: raw numpy multiprocessing scales 3.75x from 4->16
+# procs but only ~1.75x from 8->32) — so the N-vs-4N comparison runs in the
+# linear region, local[4] vs local[16], per the driver's "e.g." guidance.
+SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "16"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
+
+HEADLINE = [
+    "doc_dedup_components",
+    "doc_substring_pairs",
+    "doc_ngram_jaccard_pairs",
+    "doc_normalize",
+    "tpch_q1_pricing",
+    "top10_customers",
+    "events_sessionize",
+    "ann_cosine_top10",
+]
+
+
+def _corpus_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"turns_n{n}_seed42.parquet")
+
+
+def _ensure_corpus(n: int) -> str:
+    path = _corpus_path(n)
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.generate import generate_corpus
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    turns, _ = generate_corpus(n, seed=42)
+    turns["ts"] = turns["ts"].astype("datetime64[us]")  # Spark can't read NANOS parquet
+    pq.write_table(pa.Table.from_pandas(turns, preserve_index=False), path)
+    return path
+
+
+def _run_pipeline_subprocess(cores: int, corpus: str) -> dict:
+    """One parallelism level in a fresh process — identical cold start for
+    every level (no warm-JIT or leftover-cache asymmetry)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.join("tools", "bench_pipeline.py"), str(cores), corpus],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    from transcript_dedup.session import get_spark, stop_spark
+
+    import __spark_entry__ as E
+
+    corpus = _ensure_corpus(BENCH_CONVS)
+    results: dict[str, float] = {}
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = E.queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    stop_spark(spark)
+
+    # Phase B: scaling — identical job, two parallelism levels, each in a
+    # fresh subprocess with identical warmup (N vs 4N cores: the sandbox
+    # proxy for N vs 4N executors per the north rule). Warm the page cache
+    # before each so neither level pays the cold file read.
+    def _warm():
+        with open(corpus, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    _warm()
+    lo = _run_pipeline_subprocess(SCALE_LO, corpus)
+    _warm()
+    hi = _run_pipeline_subprocess(SCALE_HI, corpus)
+    eff = (hi["conv_per_sec"] / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
+
+    out = {
+        "metric": "headline_suite_plus_dedup_scaling",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "dedup": {
+            "corpus_convs": hi["convs"],
+            "decisions": hi["decisions"],
+            "decisions_low_parallelism": lo["decisions"],
+            "cores_hi": SCALE_HI,
+            "cores_lo": SCALE_LO,
+            "wall_sec_hi": hi["wall_sec"],
+            "wall_sec_lo": lo["wall_sec"],
+            "conv_per_sec_hi": hi["conv_per_sec"],
+            "conv_per_sec_lo": lo["conv_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

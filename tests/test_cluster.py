@@ -10,10 +10,11 @@ from transcript_dedup.config import DedupConfig
 from transcript_dedup.oracle import transitive_closure
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, driver_path=True):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["conv_a", "conv_b"]))
     counters: dict = {}
-    out = connected_components(df, DedupConfig(), counters)
+    cfg = DedupConfig() if driver_path else DedupConfig().with_(cc_driver_threshold=0)
+    out = connected_components(df, cfg, counters)
     got = {r["conv_id"]: r["component_id"] for r in out.collect()}
     return got, counters
 
@@ -21,7 +22,20 @@ def _cc(spark, edges):
 def test_simple_chain(spark):
     got, counters = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
-    assert counters["cc_iterations"] >= 1
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    nodes = [f"m{i:03d}" for i in range(60)]
+    edges = sorted({tuple(sorted((nodes[a], nodes[b])))
+                    for a, b in rng.choice(60, size=(45, 2)) if a != b})
+    fast, c1 = _cc(spark, edges, driver_path=True)
+    dist, c2 = _cc(spark, edges, driver_path=False)
+    assert fast == dist
+    assert c1.get("cc_driver_edges") == len(edges)
+    assert c2["cc_iterations"] >= 1
 
 
 def test_matches_python_bfs(spark):
@@ -33,7 +47,7 @@ def test_matches_python_bfs(spark):
     for _ in range(60):
         a, b = rng.choice(80, size=2, replace=False)
         edges.add(tuple(sorted((nodes[a], nodes[b]))))
-    got, _ = _cc(spark, sorted(edges))
+    got, _ = _cc(spark, sorted(edges), driver_path=False)
     want = transitive_closure(edges)
     assert got == want
 
@@ -42,6 +56,6 @@ def test_long_path_converges(spark):
     # a path graph has maximal diameter — worst case for label propagation
     n = 33
     edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(n - 1)]
-    got, counters = _cc(spark, edges)
+    got, counters = _cc(spark, edges, driver_path=False)
     assert set(got.values()) == {"p00"}
-    assert counters["cc_iterations"] <= DedupConfig().cc_max_iters
+    assert 1 <= counters["cc_iterations"] <= DedupConfig().cc_max_iters

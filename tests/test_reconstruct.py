@@ -11,7 +11,7 @@ from transcript_dedup.reconstruct import reconstruct_conversations, turns_normal
 
 def test_doc_reconstruction_matches_python(spark, turns200, corpus200):
     turns_pdf, _ = corpus200
-    conv = reconstruct_conversations(turns200)
+    conv = reconstruct_conversations(turns200, keep_doc_text=True)
     got = {r["conv_id"]: r["doc_text"] for r in conv.select("conv_id", "doc_text").collect()}
     want = {
         cid: "\n".join(g.sort_values("turn_idx")["text"])

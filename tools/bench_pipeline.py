@@ -1,0 +1,63 @@
+"""Run the full dedup pipeline once at a given parallelism, print one JSON
+line. Invoked as a subprocess by bench.py so each parallelism level gets an
+identical cold JVM (no warm-JIT / leftover-cache asymmetry between levels).
+
+    python tools/bench_pipeline.py <cores> <corpus_parquet>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    cores = int(sys.argv[1])
+    corpus = sys.argv[2]
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.generate import corpus_to_spark, generate_corpus
+    from transcript_dedup.pipeline import run_dedup_dataframes
+    from transcript_dedup.reconstruct import reconstruct_conversations
+    from transcript_dedup.session import get_spark
+    from transcript_dedup.signatures import add_signatures
+
+    spark = get_spark(
+        f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+    )
+    cfg = DedupConfig()
+
+    # warmup: tiny end-to-end run primes JIT, Arrow python workers, codegen
+    wturns = corpus_to_spark(spark, generate_corpus(50, seed=7)[0])
+    run_dedup_dataframes(add_signatures(reconstruct_conversations(wturns), cfg), cfg)[
+        "decisions"
+    ].count()
+    spark.catalog.clearCache()
+
+    turns = spark.read.parquet(corpus)
+    n_convs = turns.select("conv_id").distinct().count()
+    t0 = time.perf_counter()
+    conv = add_signatures(reconstruct_conversations(turns), cfg)
+    res = run_dedup_dataframes(conv, cfg)
+    n_dec = res["decisions"].count()
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "wall_sec": round(wall, 3),
+                "convs": n_convs,
+                "decisions": n_dec,
+                "conv_per_sec": round(n_convs / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,43 @@ from pyspark.sql import functions as F
 from .config import DedupConfig
 
 
+def _union_find_driver(spark, edge_rows, counters: dict | None) -> DataFrame:
+    """Driver-side union-find fast path for small edge sets.
+
+    The duplicate graph is tiny relative to the corpus (edges ~ number of
+    duplicates, not turns), so below cc_driver_threshold collecting the edge
+    list and running union-find beats dozens of iterative-join jobs. The
+    distributed loop below remains the 10^12-scale path and is exercised by
+    tests with cc_driver_threshold=0.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min-id so component_id == min member (matches the
+            # distributed hash-to-min labels)
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(x, find(x)) for x in parent]
+    if counters is not None:
+        counters["cc_iterations"] = 0
+        counters["cc_driver_edges"] = len(edge_rows)
+    return spark.createDataFrame(out, "conv_id string, component_id string")
+
+
 def connected_components(
     edges: DataFrame, cfg: DedupConfig | None = None, counters: dict | None = None
 ) -> DataFrame:
@@ -31,9 +68,20 @@ def connected_components(
     component_id = lexicographic min conv_id of the component. Only nodes
     that appear in an edge are emitted (singletons are not duplicates —
     matching the reference, where only grouped files get decisions).
+
+    Strategy: distributed min-label propagation with pointer jumping (the
+    scale path, one shuffle per round, lineage truncated per round), with a
+    driver union-find fast path when the deduplicated edge list is small
+    (cfg.cc_driver_threshold).
     """
     cfg = cfg or DedupConfig()
     e = edges.select("conv_a", "conv_b")
+
+    if cfg.cc_driver_threshold > 0:
+        # cheap upper bound first: only collect if actually small
+        if e.limit(cfg.cc_driver_threshold).count() < cfg.cc_driver_threshold:
+            rows = [(r[0], r[1]) for r in e.collect()]
+            return _union_find_driver(edges.sparkSession, rows, counters)
     sym = e.unionByName(
         e.select(F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b"))
     )
@@ -59,18 +107,37 @@ def connected_components(
             .groupBy("conv_id")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
-        changed = (
+        # pointer jumping (path halving): also take the label of my label —
+        # halves the rounds needed for deep components
+        jumped = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            .join(
+                new_labels.select(
+                    F.col("conv_id").alias("label"), F.col("label").alias("label2")
+                ).alias("p"),
+                "label",
+                "left",
+            )
+            .select("conv_id", F.least("label", "label2").alias("label"))
         )
-        labels = new_labels
-        if counters is not None:
-            counters[f"cc_changed_iter_{iters}"] = changed
-        if changed == 0:
-            break
+        # lazy lineage truncation: the convergence count below materializes it
+        new_labels = jumped.localCheckpoint(eager=False)
+        # convergence check every other round (each check is a full job; a
+        # wasted extra round is cheaper than a check per round)
+        if it % 2 == 1 or it == cfg.cc_max_iters - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "conv_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if counters is not None:
+                counters[f"cc_changed_iter_{iters}"] = changed
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     if counters is not None:
         counters["cc_iterations"] = iters
     sym.unpersist()

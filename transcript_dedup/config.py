@@ -57,17 +57,33 @@ class DedupConfig:
 
     # --- substring detector -----------------------------------------------
     substring_gram_k: int = 24          # chars per sampled gram
-    substring_mod: int = 8              # content-defined sampling: hash % mod == 0
+    substring_mod: int = 32             # content-defined sampling: hash % mod == 0
     substring_min_len: int = 64         # docs shorter than this use the tiny-doc path
+    # grams occurring in more docs than this are boilerplate: useless for
+    # containment blocking (true containment shares ALL inner grams, so any
+    # one rare gram suffices) and quadratic in the pair join. Docs whose
+    # sampled grams ALL get stopped are routed to the exhaustive tiny path,
+    # preserving exact recall.
+    substring_gram_maxdf: int = 300
 
     # --- skew handling ------------------------------------------------------
-    band_key_cap: int = 200             # band groups larger than this are salted
-    band_salt: int = 16                 # salt fan-out for hot band keys
-    band_key_drop: int = 100_000        # stop-band cutoff (logged, counted)
+    # band keys with more than `cap` members get a dynamic salt of
+    # ceil(size/cap) (bounded by band_salt_max) — subgroups stay ~cap-sized;
+    # keys beyond `drop` are stop-bands: boilerplate-degenerate, dropped with
+    # a counter (true duplicate groups that large are caught by the exact
+    # detector's hash equality and by their other, less-degenerate bands).
+    band_key_cap: int = 100
+    band_salt_max: int = 64
+    band_key_drop: int = 2000
 
     # --- clustering ----------------------------------------------------------
     cc_max_iters: int = 50
     cc_checkpoint_every: int = 1        # localCheckpoint cadence (iterations)
+    # below this many edges, connected components runs as driver-side
+    # union-find (the graph after dedup is tiny relative to the corpus;
+    # collect cost ~ O(edges)); above it, the distributed hash-to-min loop
+    # takes over. Set to 0 to force the distributed path (tests do).
+    cc_driver_threshold: int = 2_000_000
 
     def with_(self, **kw) -> "DedupConfig":
         return replace(self, **kw)

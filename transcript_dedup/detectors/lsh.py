@@ -52,7 +52,9 @@ def lsh_candidates(
     """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh')."""
     keys = band_keys(conv, cfg)
 
-    # pass 1: band-key group sizes (map-side partial agg keeps this cheap)
+    # pass 1: band-key group sizes. A window count would be one exchange
+    # instead of two, but window exec sorts every partition — measured
+    # slower than hash-agg + join-back at 10M+ keys; keep the groupBy.
     sizes = keys.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
 
     if counters is not None:
@@ -67,9 +69,11 @@ def lsh_candidates(
         counters["lsh_stop_band_keys"] = int(stats["dropped_keys"] or 0)
         counters["lsh_salted_keys"] = int(stats["salted_keys"] or 0)
 
-    # pass 2: attach sizes (this join is on the band key — sizes is small
-    # relative to keys and AQE will broadcast it when it fits), drop
-    # stop-bands, salt hot keys.
+    # pass 2: drop stop-bands, dynamically salt hot keys so subgroups stay
+    # ~cap-sized.
+    n_salts = F.least(
+        F.lit(cfg.band_salt_max), F.ceil(F.col("sz") / F.lit(cfg.band_key_cap))
+    )
     keyed = (
         keys.join(sizes, ["band_id", "band_hash"], "inner")
         .filter(F.col("sz") <= cfg.band_key_drop)
@@ -77,14 +81,20 @@ def lsh_candidates(
             "salt",
             F.when(
                 F.col("sz") > cfg.band_key_cap,
-                F.pmod(F.xxhash64("conv_id"), F.lit(cfg.band_salt)),
+                F.pmod(F.xxhash64("conv_id"), n_salts),
             ).otherwise(F.lit(0)),
         )
         .select("band_id", "band_hash", "salt", "conv_id")
     )
 
+    # keyed is both sides of the self-join — persist so the band explode +
+    # size join pipeline runs once (the join's two shuffle-map stages run
+    # sequentially, so lazy persist is enough)
+    keyed = keyed.persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # no pre-distinct: the verify stage's groupBy(conv_a, conv_b) absorbs
+    # duplicate band collisions — one fewer shuffle here
     pairs = (
         a.join(b, ["band_id", "band_hash", "salt"], "inner")
         .filter(F.col("a.conv_id") < F.col("b.conv_id"))
@@ -92,7 +102,6 @@ def lsh_candidates(
             F.col("a.conv_id").alias("conv_a"),
             F.col("b.conv_id").alias("conv_b"),
         )
-        .distinct()
         .withColumn("src", F.lit("lsh"))
     )
     return pairs

@@ -37,23 +37,45 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 
 
-def _gram_pairs(conv: DataFrame, cfg: DedupConfig, counters: dict | None) -> DataFrame:
-    grams = (
-        conv.filter(F.length("norm_text") > 0)
-        .select("conv_id", F.explode("sub_grams").alias("gram"))
-    )
+def _gram_pairs(
+    conv: DataFrame, cfg: DedupConfig, counters: dict | None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (candidate pairs from rare-gram collisions, ids of docs whose
+    sampled grams were ALL stopped — they need the exhaustive tiny path)."""
+    nonempty = conv.filter(F.length("norm_text") > 0)
+    grams = nonempty.select("conv_id", F.explode("sub_grams").alias("gram"))
     sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
     if counters is not None:
         stats = sizes.agg(
-            F.sum((F.col("df") > cfg.band_key_drop).cast("long")).alias("stop_grams")
+            F.sum((F.col("df") > cfg.substring_gram_maxdf).cast("long")).alias("stop_grams")
         ).collect()[0]
         counters["substring_stop_grams"] = int(stats["stop_grams"] or 0)
+    # kept feeds both sides of the blocking join plus the fallback routing —
+    # persist eagerly or the explode+count pipeline reruns per consumer.
+    # (window-count df would save one exchange but sorts every partition —
+    # measured slower than hash-agg + join-back at this row count)
     kept = grams.join(
-        sizes.filter(F.col("df") <= cfg.band_key_drop), "gram", "left_semi"
+        sizes.filter(F.col("df") <= cfg.substring_gram_maxdf), "gram", "inner"
+    ).persist()
+    kept.count()
+    # rarest-gram blocking: containment means the outer doc contains EVERY
+    # inner gram, so the inner doc only needs to probe with its single
+    # rarest (min-df) gram — join fan-out is df(rarest gram) per doc, never
+    # quadratic in a gram's document frequency.
+    inner_keys = kept.groupBy("conv_id").agg(
+        F.min(F.struct("df", "gram")).getField("gram").alias("gram")
     )
-    a, b = kept.alias("a"), kept.alias("b")
-    return (
-        a.join(b, "gram")
+    # docs that had grams but lost all of them to the stop list: exactly the
+    # docs with sampled grams that have no inner_keys row (cheap 60k-row
+    # anti-join, not a pass over the exploded gram table)
+    all_stopped = (
+        nonempty.filter(F.size("sub_grams") > 0)
+        .select("conv_id")
+        .join(inner_keys.select("conv_id"), "conv_id", "left_anti")
+    )
+    pairs = (
+        inner_keys.alias("a")
+        .join(kept.select("conv_id", "gram").alias("b"), "gram")
         .filter(F.col("a.conv_id") != F.col("b.conv_id"))
         .select(
             F.least("a.conv_id", "b.conv_id").alias("conv_a"),
@@ -61,15 +83,33 @@ def _gram_pairs(conv: DataFrame, cfg: DedupConfig, counters: dict | None) -> Dat
         )
         .distinct()
     )
+    return pairs, all_stopped, kept
 
 
-def _gramless_pairs(conv: DataFrame, cfg: DedupConfig, counters: dict | None) -> DataFrame:
-    """Exhaustive (broadcast) pass for non-empty docs with no sampled grams."""
-    tiny = conv.filter(
+def _tiny_pairs(
+    conv: DataFrame, tiny_ids: DataFrame, cfg: DedupConfig, counters: dict | None
+) -> DataFrame:
+    """Exhaustive (broadcast) pass for docs with no usable sampled grams:
+    non-empty docs with zero sampled grams, plus docs whose grams were all
+    stop-listed. Their count is bounded (short or pure-boilerplate docs) and
+    surfaced via counters."""
+    gramless = conv.filter(
         (F.length("norm_text") > 0) & (F.size("sub_grams") == 0)
-    ).select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
+    ).select("conv_id")
+    tiny = (
+        gramless.unionByName(tiny_ids)
+        .distinct()
+        .join(conv.select("conv_id", "norm_text"), "conv_id")
+        .select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
+    )
+    # the broadcast contains-join scans the whole corpus — short-circuit the
+    # common case of zero fallback docs (one cheap count on the cached conv)
+    n_tiny = tiny.count()
     if counters is not None:
-        counters["substring_gramless_docs"] = tiny.count()
+        counters["substring_tiny_docs"] = n_tiny
+    if n_tiny == 0:
+        spark = conv.sparkSession
+        return spark.createDataFrame([], "conv_a string, conv_b string")
     others = conv.filter(F.length("norm_text") > 0).select(
         F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
     )
@@ -122,9 +162,8 @@ def substring_candidates(
     verify_mode: str = "suffix_array",
 ) -> DataFrame:
     """conversations -> (conv_a, conv_b, src='substring') containment edges."""
-    raw = _gram_pairs(conv, cfg, counters).unionByName(
-        _gramless_pairs(conv, cfg, counters)
-    ).distinct()
+    gram_pairs, all_stopped, kept = _gram_pairs(conv, cfg, counters)
+    raw = gram_pairs.unionByName(_tiny_pairs(conv, all_stopped, cfg, counters)).distinct()
 
     texts = conv.select("conv_id", "norm_text", F.length("norm_text").alias("len"))
     hyd = (
@@ -167,4 +206,11 @@ def substring_candidates(
     )
 
     verified = _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)
-    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))
+    out = (
+        verified.select("conv_a", "conv_b")
+        .withColumn("src", F.lit("substring"))
+        .persist()
+    )
+    out.count()  # materialize, then drop the gram-table cache
+    kept.unpersist()
+    return out

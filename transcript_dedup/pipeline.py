@@ -86,7 +86,7 @@ class DedupPipeline:
         turns: DataFrame,
         input_fingerprint: str = "adhoc",
         resume: bool = True,
-        substring_verify_mode: str = "suffix_array",
+        substring_verify_mode: str = "instr",
     ) -> dict:
         """Run (or resume) the full pipeline; returns dict of DataFrames."""
         cfg = self.cfg
@@ -152,6 +152,35 @@ class DedupPipeline:
             "components": comps,
             "decisions": decisions,
         }
+
+
+def run_dedup_dataframes(
+    conv: DataFrame,
+    cfg: DedupConfig | None = None,
+    substring_verify_mode: str = "instr",
+    counters: dict | None = None,
+) -> dict:
+    """Pure-DataFrame composition of the detect->verify->cluster->decide
+    stages (no TableIO, no metrics) — for embedding the engine in other
+    dataflows (e.g. the driver's documents-table queries)."""
+    from pyspark import StorageLevel
+
+    cfg = cfg or DedupConfig()
+    if conv.storageLevel == StorageLevel.NONE:
+        conv = conv.persist()
+    cand = (
+        exact_candidates(conv)
+        .unionByName(lsh_candidates(conv, cfg, counters))
+        .unionByName(
+            substring_candidates(conv, cfg, counters, verify_mode=substring_verify_mode)
+        )
+    )
+    # verified pairs feed three consumers (CC edges, decision confidence,
+    # caller) — persist so the detector cascade runs exactly once
+    pairs = verify_candidates(cand, conv, cfg).persist()
+    comps = connected_components(pairs.filter("is_match"), cfg, counters)
+    decisions = make_decisions(comps, conv, pairs, cfg)
+    return {"candidate_pairs": pairs, "components": comps, "decisions": decisions}
 
 
 def closure_pairs(components: DataFrame) -> DataFrame:

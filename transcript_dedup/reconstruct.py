@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .normalize import normalize_text
 
 
-def reconstruct_conversations(turns: DataFrame) -> DataFrame:
+def reconstruct_conversations(turns: DataFrame, keep_doc_text: bool = False) -> DataFrame:
     """turns(conv_id, turn_idx, role, text, tool, ts) -> one row per conv.
 
     Output columns:
@@ -53,6 +53,12 @@ def reconstruct_conversations(turns: DataFrame) -> DataFrame:
     conv = conv.drop("_turns")
     conv = conv.withColumn("norm_text", normalize_text("doc_text"))
     conv = conv.withColumn("content_hash", F.xxhash64("norm_text"))
+    if not keep_doc_text:
+        # doc_text is ~half the row width and nothing downstream reads it
+        # (norm_text drives hashing, signatures, and substring verify) —
+        # dropping it halves Arrow transfer into the kernel and the persist
+        # footprint
+        conv = conv.drop("doc_text")
     return conv
 
 

@@ -42,8 +42,49 @@ def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_POLY_P = _U64(0x100000001B3)  # FNV-ish odd base (invertible mod 2^64)
+_POLY_Q = _U64(0x9E3779B97F4A7C15)  # golden-ratio odd base for shingle combine
+_POLY_P_INV = _U64(pow(0x100000001B3, -1, 1 << 64))
+_POLY_Q_INV = _U64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+_PowCache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _powers(base_key: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(base^j, base^-j) for j < n — grown on demand, shared across calls
+    (the per-call cumprod was the kernel hot spot)."""
+    base, inv = (
+        (_POLY_P, _POLY_P_INV) if base_key == 0 else (_POLY_Q, _POLY_Q_INV)
+    )
+    pw, ipw = _PowCache.get(base_key, (None, None))
+    if pw is None or pw.size < n:
+        size = max(n, 4096, 0 if pw is None else 2 * pw.size)
+        with np.errstate(over="ignore"):
+            npw = np.empty(size, dtype=np.uint64)
+            npw[0] = _U64(1)
+            np.cumprod(np.full(size - 1, base, dtype=np.uint64), out=npw[1:])
+            nipw = np.empty(size, dtype=np.uint64)
+            nipw[0] = _U64(1)
+            np.cumprod(np.full(size - 1, inv, dtype=np.uint64), out=nipw[1:])
+        _PowCache[base_key] = (npw, nipw)
+        pw, ipw = npw, nipw
+    return pw, ipw
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — full-avalanche bit diffusion on top
+    of the linear polynomial hashes (SimHash bit votes and MinHash
+    permutations need well-mixed bits)."""
+    with np.errstate(over="ignore"):
+        x = x + _U64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
 def hash_strings_u64(strings: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of UTF-8 strings (blake2b/8)."""
+    """Stable 64-bit hashes of UTF-8 strings (blake2b/8) — slow path, kept
+    for arbitrary string lists (oracle helpers, tests)."""
     if not strings:
         return np.empty(0, dtype=np.uint64)
     return np.frombuffer(
@@ -52,20 +93,59 @@ def hash_strings_u64(strings: list[str]) -> np.ndarray:
     ).copy()
 
 
-def shingle_hashes(norm_text: str, k: int) -> np.ndarray:
-    """Hashes of the k-token shingle *set* of a normalized document.
+def _token_hashes(norm_text: str) -> np.ndarray:
+    """Vectorized per-token hashes of a normalized ('a b c') document.
 
-    Docs with fewer than k tokens yield one shingle (the whole token string);
+    One prefix-sum polynomial pass over the UTF-8 bytes; token hash =
+    splitmix64 of (poly hash of token bytes, length-salted). No per-string
+    Python — this replaced a blake2b-per-token loop that dominated the
+    kernel at 60k docs.
+    """
+    data = norm_text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pw, ipw = _powers(0, n)
+    with np.errstate(over="ignore"):
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(x * pw[:n], out=s[1:])
+        # token boundaries: spaces are single separators in normalized text
+        spaces = np.flatnonzero(x == _U64(32))
+        starts = np.concatenate(([0], spaces + 1))
+        ends = np.concatenate((spaces, [n]))
+        h = (s[ends] - s[starts]) * ipw[starts]
+        h = h * _POLY_Q + (ends - starts).astype(np.uint64)  # length salt
+        return _splitmix64(h)
+
+
+def shingle_hashes(norm_text: str, k: int) -> np.ndarray:
+    """Hashes of the k-token shingle *set* of a normalized document —
+    rolling combine of k consecutive token hashes (vectorized).
+
+    Docs with fewer than k tokens yield one shingle (all tokens combined);
     empty docs yield none.
     """
-    toks = tokens_py(norm_text)
-    if not toks or toks == [""]:
+    tok = _token_hashes(norm_text)
+    m = tok.size
+    if m == 0:
         return np.empty(0, dtype=np.uint64)
-    if len(toks) < k:
-        shings = {" ".join(toks)}
-    else:
-        shings = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    return hash_strings_u64(sorted(shings))
+    kk = min(k, m)
+    with np.errstate(over="ignore"):
+        qpw = np.empty(m, dtype=np.uint64)
+        qpw[0] = _U64(1)
+        if m > 1:
+            np.cumprod(np.full(m - 1, _POLY_Q, dtype=np.uint64), out=qpw[1:])
+        s = np.zeros(m + 1, dtype=np.uint64)
+        np.cumsum(tok * qpw, out=s[1:])
+        iq = _U64(pow(int(_POLY_Q), -1, 1 << 64))
+        iqpw = np.empty(m, dtype=np.uint64)
+        iqpw[0] = _U64(1)
+        if m > 1:
+            np.cumprod(np.full(m - 1, iq, dtype=np.uint64), out=iqpw[1:])
+        starts = np.arange(0, m - kk + 1, dtype=np.int64)
+        h = (s[starts + kk] - s[starts]) * iqpw[starts]
+        return np.unique(_splitmix64(h))
 
 
 _EMPTY_SIG_FILL = _U64(0xFFFFFFFFFFFFFFFF)
@@ -82,12 +162,11 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
 
 
 def simhash64(norm_text: str) -> np.uint64:
-    """Weighted 64-bit SimHash over token unigrams."""
-    toks = tokens_py(norm_text)
-    if not toks or toks == [""]:
+    """Weighted 64-bit SimHash over token unigrams (vectorized)."""
+    th = _token_hashes(norm_text)
+    if th.size == 0:
         return _U64(0)
-    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    h = hash_strings_u64(list(uniq))
+    h, counts = np.unique(th, return_counts=True)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
         np.int64
     )
@@ -110,14 +189,20 @@ def sampled_gram_hashes(norm_text: str, k: int, mod: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    p = _U64(1099511628211)  # FNV-ish odd base, wraparound mod 2^64
-    powers = np.empty(k, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        powers[k - 1] = _U64(1)
-        for i in range(k - 2, -1, -1):
-            powers[i] = powers[i + 1] * p
-        w = np.lib.stride_tricks.sliding_window_view(x, k)
-        h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        pw = np.empty(n, dtype=np.uint64)
+        pw[0] = _U64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _POLY_P, dtype=np.uint64), out=pw[1:])
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(x * pw, out=s[1:])
+        inv = _U64(pow(int(_POLY_P), -1, 1 << 64))
+        ipw = np.empty(n, dtype=np.uint64)
+        ipw[0] = _U64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=ipw[1:])
+        starts = np.arange(0, n - k + 1, dtype=np.int64)
+        h = _splitmix64((s[starts + k] - s[starts]) * ipw[starts])
     sel = h[h % _U64(mod) == _U64(0)]
     return np.unique(sel)
 
@@ -145,6 +230,177 @@ def compute_signature_row(norm_text: str, cfg: DedupConfig, a: np.ndarray, b: np
         sim -= 1 << 64
     grams = sampled_gram_hashes(norm_text, cfg.substring_gram_k, cfg.substring_mod)
     return sig.view(np.int64).tolist(), sim, int(sh.size), grams.view(np.int64).tolist()
+
+
+# --------------------------------------------------------------------------
+# Batch kernel: one segmented numpy computation per Arrow batch.
+#
+# Bit-identical to compute_signature_row per doc (asserted in tests): the
+# polynomial hashes are position-independent, so hashing the whole batch's
+# concatenated bytes in one prefix pass yields the same per-token /
+# per-shingle / per-gram values as the per-doc code. The per-doc python
+# overhead (dozens of small-array numpy calls per row) dominated kernel cost
+# at 240k docs; this replaces it with ~20 large-array ops per 10k-row batch.
+# --------------------------------------------------------------------------
+
+_SEP = 0  # NUL separator byte between docs in the concatenated buffer
+
+
+def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, b: np.ndarray):
+    """Vectorized (minhash, simhash, n_shingles, sub_grams) for a doc batch.
+
+    Returns (list[list[int]], list[int], list[int], list[list[int]]).
+    """
+    ndocs = len(texts)
+    if ndocs == 0:
+        return [], [], [], []
+    raw = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(r) for r in raw), dtype=np.int64, count=ndocs)
+    data = b"\x00".join(raw)
+    n = len(data)
+    doc_starts = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    doc_ends = doc_starts + lens
+
+    out_sig = [None] * ndocs
+    out_sim = [0] * ndocs
+    out_nsh = [0] * ndocs
+    out_grams: list[list[int]] = [[] for _ in range(ndocs)]
+    if n == 0:
+        empty_sig = np.full(a.shape[0], _EMPTY_SIG_FILL, dtype=np.uint64).view(np.int64).tolist()
+        return [list(empty_sig) for _ in range(ndocs)], out_sim, out_nsh, out_grams
+
+    x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pw, ipw = _powers(0, n)
+    with np.errstate(over="ignore"):
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(x * pw[:n], out=s[1:])
+
+        # ---- tokens: boundaries at spaces, NULs, string ends --------------
+        brk = np.flatnonzero((x == _U64(32)) | (x == _U64(_SEP)))
+        tok_starts = np.concatenate(([0], brk + 1))
+        tok_ends = np.concatenate((brk, [n]))
+        nonempty_tok = tok_ends > tok_starts  # drop the empty token at each NUL
+        tok_starts, tok_ends = tok_starts[nonempty_tok], tok_ends[nonempty_tok]
+        tok_doc = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+        th = (s[tok_ends] - s[tok_starts]) * ipw[tok_starts]
+        th = _splitmix64(th * _POLY_Q + (tok_ends - tok_starts).astype(np.uint64))
+
+        # ---- shingles: rolling combine of k token hashes within a doc -----
+        m = th.size
+        k = cfg.shingle_k
+        sig_all = np.full((ndocs, a.shape[0]), _EMPTY_SIG_FILL, dtype=np.uint64)
+        if m:
+            qpw, iqpw = _powers(1, m + 1)
+            s2 = np.zeros(m + 1, dtype=np.uint64)
+            np.cumsum(th * qpw[:m], out=s2[1:])
+            tok_counts = np.bincount(tok_doc, minlength=ndocs)
+            tok_off = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(tok_counts[:-1], out=tok_off[1:])
+            # full-k shingles where the window stays inside one doc
+            if m >= k:
+                i0 = np.arange(0, m - k + 1, dtype=np.int64)
+                ok = tok_doc[i0] == tok_doc[i0 + k - 1]
+                i0 = i0[ok]
+                sh = _splitmix64((s2[i0 + k] - s2[i0]) * iqpw[i0])
+                sh_doc = tok_doc[i0]
+            else:
+                sh = np.empty(0, dtype=np.uint64)
+                sh_doc = np.empty(0, dtype=np.int64)
+            # whole-doc shingle for docs with 0 < tokens < k
+            small = (tok_counts > 0) & (tok_counts < k)
+            if small.any():
+                ds = np.flatnonzero(small)
+                st = tok_off[ds]
+                en = st + tok_counts[ds]
+                sh_small = _splitmix64((s2[en] - s2[st]) * iqpw[st])
+                sh = np.concatenate((sh, sh_small))
+                sh_doc = np.concatenate((sh_doc, ds))
+            if sh.size:
+                # per-doc unique: sort by (doc, hash), drop consecutive dups
+                order = np.lexsort((sh, sh_doc))
+                sh, sh_doc = sh[order], sh_doc[order]
+                keep = np.ones(sh.size, dtype=bool)
+                keep[1:] = (sh[1:] != sh[:-1]) | (sh_doc[1:] != sh_doc[:-1])
+                sh, sh_doc = sh[keep], sh_doc[keep]
+                # segmented MinHash: chunk docs so the perm matrix stays small
+                seg_counts = np.bincount(sh_doc, minlength=ndocs)
+                seg_off = np.zeros(ndocs, dtype=np.int64)
+                np.cumsum(seg_counts[:-1], out=seg_off[1:])
+                docs_with = np.flatnonzero(seg_counts > 0)
+                CH = 200_000  # shingle-hash chunk (126 x CH x 8B ~ 200 MB)
+                lo = 0
+                while lo < docs_with.size:
+                    hi = lo
+                    tot = 0
+                    while hi < docs_with.size and (
+                        tot + seg_counts[docs_with[hi]] <= CH or hi == lo
+                    ):
+                        tot += seg_counts[docs_with[hi]]
+                        hi += 1
+                    ds = docs_with[lo:hi]
+                    idx0, idx1 = seg_off[ds[0]], seg_off[ds[-1]] + seg_counts[ds[-1]]
+                    block = sh[idx0:idx1]
+                    vals = a[:, None] * block[None, :] + b[:, None]
+                    cuts = (seg_off[ds] - idx0).astype(np.int64)
+                    mins = np.minimum.reduceat(vals, cuts, axis=1)
+                    sig_all[ds, :] = mins.T
+                    lo = hi
+                for d in range(ndocs):
+                    out_nsh[d] = int(seg_counts[d])
+
+        # ---- simhash: weighted bit votes per doc ---------------------------
+        if m:
+            bit_idx = np.arange(64, dtype=np.uint64)
+            votes = np.zeros((ndocs, 64), dtype=np.int64)
+            docs_tok = np.flatnonzero(tok_counts > 0)
+            CH = 400_000
+            lo = 0
+            while lo < docs_tok.size:  # doc-aligned chunks; tok_doc is sorted
+                hi = lo
+                tot = 0
+                while hi < docs_tok.size and (
+                    tot + tok_counts[docs_tok[hi]] <= CH or hi == lo
+                ):
+                    tot += tok_counts[docs_tok[hi]]
+                    hi += 1
+                ds = docs_tok[lo:hi]
+                t0, t1 = tok_off[ds[0]], tok_off[ds[-1]] + tok_counts[ds[-1]]
+                blk = th[t0:t1]
+                bits = ((blk[:, None] >> bit_idx[None, :]) & _U64(1)).astype(np.int64)
+                cuts = (tok_off[ds] - t0).astype(np.int64)
+                votes[ds, :] = np.add.reduceat(2 * bits - 1, cuts, axis=0)
+                lo = hi
+            packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+            sims = packed.view("<u8").ravel().astype(np.uint64)
+            sims = np.where(tok_counts > 0, sims, _U64(0))
+            out_sim = sims.view(np.int64).tolist()
+
+        # ---- sampled grams: byte windows fully inside one doc --------------
+        k2 = cfg.substring_gram_k
+        if n >= k2:
+            i0 = np.arange(0, n - k2 + 1, dtype=np.int64)
+            d0 = np.searchsorted(doc_starts, i0, side="right") - 1
+            ok = (i0 + k2) <= doc_ends[d0]
+            i0, d0 = i0[ok], d0[ok]
+            gh = _splitmix64((s[i0 + k2] - s[i0]) * ipw[i0])
+            sel = gh % _U64(cfg.substring_mod) == _U64(0)
+            gh, gd = gh[sel], d0[sel]
+            if gh.size:
+                order = np.lexsort((gh, gd))
+                gh, gd = gh[order], gd[order]
+                keep = np.ones(gh.size, dtype=bool)
+                keep[1:] = (gh[1:] != gh[:-1]) | (gd[1:] != gd[:-1])
+                gh, gd = gh[keep], gd[keep]
+                ghi = gh.view(np.int64)
+                bounds = np.searchsorted(gd, np.arange(ndocs + 1))
+                for d in range(ndocs):
+                    if bounds[d + 1] > bounds[d]:
+                        out_grams[d] = ghi[bounds[d] : bounds[d + 1]].tolist()
+
+    sig_i64 = sig_all.view(np.int64)
+    out_sig = [sig_i64[d].tolist() for d in range(ndocs)]
+    return out_sig, out_sim, out_nsh, out_grams
 
 
 # --------------------------------------------------------------------------
@@ -177,6 +433,10 @@ def add_signatures(conv_df, cfg: DedupConfig):
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = minhash_params(k)
         for pdf in batches:
+            # per-row kernel: on this class of box the doc-sized arrays stay
+            # cache-resident, beating the batch-segmented variant
+            # (compute_signatures_batch, kept + parity-tested) which streams
+            # multi-MB index arrays through DRAM.
             sigs, sims, counts, grams = [], [], [], []
             for t in pdf["norm_text"].astype(str):
                 sg, sm, ns, gr = compute_signature_row(t, k, a, b)
