@@ -484,6 +484,177 @@ _add(
 )
 
 
+# ---- P7: suspicious-pattern regex QA (find-suspicious.ts:27-58) ------------
+_add(
+    "doc_regex_filter",
+    """
+    SELECT lang, count(*) AS n_suspicious
+    FROM documents
+    WHERE text RLIKE '(key|hash) (agg|join)'
+    GROUP BY lang
+    """,
+    """
+    SELECT lang, count(*) AS n_suspicious
+    FROM documents
+    WHERE regexp_matches(text, '(key|hash) (agg|join)')
+    GROUP BY lang
+    """,
+    ["documents"],
+)
+
+# ---- A6: dedup-savings rollup (review-summary.ts:21-66 analogue) ------------
+_NGRAM_SPARK = None  # defined above inside the registry; rebuilt here via WITH
+
+
+def _ngram_with(spark_side: bool) -> str:
+    norm = _NORM_SPARK if spark_side else _NORM_DUCK
+    if spark_side:
+        g = (
+            "SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', slice(t, i + 1, 3))))) AS gram FROM n WHERE size(t) >= 3"
+        )
+        t = f"SELECT doc_id, split({norm.format(c='text')}, ' ') AS t FROM documents"
+    else:
+        g = (
+            "SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(t[i:i+2], ' ')))) AS gram FROM n WHERE len(t) >= 3"
+        )
+        t = f"SELECT doc_id, string_split({norm.format(c='text')}, ' ') AS t FROM documents"
+    return f"""
+    WITH n AS ({t}),
+    g AS ({g}),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pr AS (SELECT doc_a, doc_b,
+                  n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double) AS jac
+           FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           WHERE n_inter / cast(sa.n_grams + sb.n_grams - n_inter AS double) >= 0.05)
+    """
+
+
+_add(
+    "dedup_savings_by_lang",
+    _ngram_with(True)
+    + """
+    SELECT da.lang, count(*) AS n_pairs,
+           cast(sum(least(da.n_chars, db.n_chars)) AS bigint) AS chars_saved
+    FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+            JOIN documents db ON db.doc_id = pr.doc_b
+    GROUP BY da.lang
+    """,
+    _ngram_with(False)
+    + """
+    SELECT da.lang, count(*) AS n_pairs,
+           cast(sum(least(da.n_chars, db.n_chars)) AS bigint) AS chars_saved
+    FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+            JOIN documents db ON db.doc_id = pr.doc_b
+    GROUP BY da.lang
+    """,
+    ["documents"],
+)
+
+# ---- W1: global order by score desc with total order (duplicates.ts:41) ----
+_add(
+    "top_ngram_pairs",
+    _ngram_with(True)
+    + """
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM pr ORDER BY jac DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+    _ngram_with(False)
+    + """
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+    FROM pr ORDER BY jac DESC, doc_a ASC, doc_b ASC LIMIT 20
+    """,
+    ["documents"],
+)
+
+# ---- J7/A8: keep/delete conflict detection over synthesized decisions ------
+# (find-conflicts.ts:24-59: keep = smaller doc of each pair, delete = larger;
+#  a doc kept by one pair and deleted by another is a conflict -> resolved by
+#  connected components in the engine; this query IS the detector)
+_add(
+    "pair_conflicts",
+    _ngram_with(True)
+    + """
+    , act AS (
+      SELECT doc_a AS doc_id, 'keep' AS action FROM pr
+      UNION ALL SELECT doc_b, 'delete' FROM pr)
+    SELECT doc_id, count(DISTINCT action) AS n_actions, count(*) AS n_decisions
+    FROM act GROUP BY doc_id HAVING count(DISTINCT action) > 1
+    """,
+    _ngram_with(False)
+    + """
+    , act AS (
+      SELECT doc_a AS doc_id, 'keep' AS action FROM pr
+      UNION ALL SELECT doc_b, 'delete' FROM pr)
+    SELECT doc_id, count(DISTINCT action) AS n_actions, count(*) AS n_decisions
+    FROM act GROUP BY doc_id HAVING count(DISTINCT action) > 1
+    """,
+    ["documents"],
+)
+
+# ---- SO3: EXCEPT (resolve-conflicts.ts:271) ---------------------------------
+_add(
+    "doc_except_pair_members",
+    f"""
+    SELECT doc_id FROM documents
+    EXCEPT
+    SELECT doc_a AS doc_id FROM ({_LEV_SPARK}) WHERE lev_sim >= 0.2
+    EXCEPT
+    SELECT doc_b AS doc_id FROM ({_LEV_SPARK}) WHERE lev_sim >= 0.2
+    """,
+    f"""
+    SELECT doc_id FROM documents
+    EXCEPT
+    SELECT doc_a AS doc_id FROM ({_LEV_DUCK}) WHERE lev_sim >= 0.2
+    EXCEPT
+    SELECT doc_b AS doc_id FROM ({_LEV_DUCK}) WHERE lev_sim >= 0.2
+    """,
+    ["documents"],
+)
+
+# ---- S12: upsert / MERGE last-write-wins (index.ts:576-592) -----------------
+_UPSERT = """
+    WITH updates AS (
+      SELECT doc_id, 'UPDATED' AS text, lang, source, n_chars, 2 AS version
+      FROM documents WHERE doc_id % 10 = 0),
+    unioned AS (
+      SELECT doc_id, text, lang, version FROM updates
+      UNION ALL
+      SELECT doc_id, text, lang, 1 AS version FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+          FROM unioned)
+    SELECT doc_id, substring(text, 1, 12) AS text_head, lang, version
+    FROM r WHERE rn = 1
+"""
+_add("doc_upsert_lww", _UPSERT, _UPSERT, ["documents"])
+
+# ---- J6: pair hydration (duplicates.ts:205-210) -----------------------------
+_add(
+    "pair_hydration",
+    f"""
+    SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b,
+           da.n_chars AS chars_a, db.n_chars AS chars_b, p.lev_sim
+    FROM ({_LEV_SPARK}) p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.lev_sim >= 0.2
+    """,
+    f"""
+    SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b,
+           da.n_chars AS chars_a, db.n_chars AS chars_b, p.lev_sim
+    FROM ({_LEV_DUCK}) p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.lev_sim >= 0.2
+    """,
+    ["documents"],
+)
+
+
 # --------------------------------------------------------------------------
 # Engine-native entries (kernel/iterative dataflow)
 # --------------------------------------------------------------------------
@@ -571,6 +742,42 @@ def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
+    The verify is exact, so no pair above threshold can be fabricated; the
+    O(n^2) SQL oracle checks nothing real was reported (the testdata's max
+    pairwise cosine ~0.51, so both sides are provably empty)."""
+    from transcript_dedup.embeddings import embedding_near_dup_pairs
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(vecs, threshold=0.9).selectExpr(
+        "id_a", "id_b", "cosine"
+    )
+
+
+_EMB_DUP_ORACLE = """
+    WITH n AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+"""
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k (rows-only: bucket hashing is not
+    SQL-expressible in DuckDB; recall vs brute force asserted in tests)."""
+    from transcript_dedup.embeddings import ann_lsh_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter("vec_id < 5")
+    return ann_lsh_topk(vecs, queries, k=5, n_planes=6, n_tables=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_doc_dedup_components(spark, SF_DEFAULT)
@@ -581,12 +788,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_substring_pairs"] = _q_doc_substring_pairs
     out["doc_dedup_components"] = _q_doc_dedup_components
     out["transcript_decisions"] = _q_transcript_decisions
+    out["emb_near_dup_pairs"] = _q_emb_near_dup_pairs
+    out["ann_lsh_topk"] = _q_ann_lsh_topk
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in _REGISTRY.items()}
     out["doc_substring_pairs"] = _SUBSTR_ORACLE
-    # doc_dedup_components / transcript_decisions: LSH + iterative CC are not
-    # SQL-expressible in DuckDB -> rows-only checks.
+    out["emb_near_dup_pairs"] = _EMB_DUP_ORACLE
+    # doc_dedup_components / transcript_decisions / ann_lsh_topk: LSH band
+    # hashing + iterative CC are not SQL-expressible in DuckDB -> rows-only.
     return out
