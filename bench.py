@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "120000"))
 # scaling levels: this VM exposes 32 vCPUs but saturates ~16 cores' worth of
 # throughput (measured: raw numpy multiprocessing scales 3.75x from 4->16
 # procs but only ~1.75x from 8->32) — so the N-vs-4N comparison runs in the

@@ -92,6 +92,30 @@ def make_decisions(
         .agg(F.min("confidence").alias("min_confidence"))
     )
 
+    # metadata-field disagreement per component (compareMetadataFields,
+    # /root/reference/src/auto-decider.ts:75-108: differing fields flag the
+    # decision for metadata review) — transcript fields: role_seq, tool_set,
+    # turn_count
+    meta_diff = (
+        components.join(
+            conv.select("conv_id", "role_seq", "tool_set", "turn_count"), "conv_id"
+        )
+        .groupBy("component_id")
+        .agg(
+            F.filter(
+                F.array(
+                    F.when(F.count_distinct("role_seq") > 1, F.lit("role_seq")),
+                    F.when(
+                        F.count_distinct(F.to_json(F.struct("tool_set"))) > 1,
+                        F.lit("tool_set"),
+                    ),
+                    F.when(F.count_distinct("turn_count") > 1, F.lit("turn_count")),
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("meta_differences")
+        )
+    )
+
     dec = (
         ranked.groupBy("component_id", "rule_applied")
         .agg(
@@ -104,6 +128,7 @@ def make_decisions(
             F.count("*").cast("int").alias("size"),
         )
         .join(pair_conf, "component_id", "left")
+        .join(meta_diff, "component_id", "left")
         .select(
             F.col("component_id").alias("group_id"),
             "keep",
@@ -117,6 +142,12 @@ def make_decisions(
             .alias("decision_type"),
             F.coalesce("min_confidence", F.lit(0)).alias("min_confidence"),
             "size",
+            F.coalesce("meta_differences", F.array().cast("array<string>")).alias(
+                "meta_differences"
+            ),
+            (F.size(F.coalesce("meta_differences", F.array().cast("array<string>"))) > 0).alias(
+                "needs_metadata_review"
+            ),
         )
     )
     return dec
