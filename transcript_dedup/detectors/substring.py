@@ -206,11 +206,7 @@ def substring_candidates(
     )
 
     verified = _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)
-    out = (
-        verified.select("conv_a", "conv_b")
-        .withColumn("src", F.lit("substring"))
-        .persist()
-    )
-    out.count()  # materialize, then drop the gram-table cache
-    kept.unpersist()
-    return out
+    # no materialization barrier here: the single downstream consumer
+    # (verify stage) triggers it; kept's cache stays alive for that run —
+    # bounded (gram rows ~ chars/mod) and reclaimed with the session
+    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))
