@@ -51,18 +51,31 @@ def _corpus_path(n: int) -> str:
 
 
 def _ensure_corpus(n: int) -> str:
-    path = _corpus_path(n)
-    if os.path.exists(path):
+    """Cache the corpus as a DIRECTORY of 32 parquet files — a single file
+    serializes the scan + first shuffle write onto a handful of split tasks;
+    real corpora are many files."""
+    path = _corpus_path(n) + ".d"
+    if os.path.isdir(path) and os.listdir(path):
         return path
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from transcript_dedup.generate import generate_corpus
 
-    os.makedirs(CACHE_DIR, exist_ok=True)
+    os.makedirs(path, exist_ok=True)
     turns, _ = generate_corpus(n, seed=42)
     turns["ts"] = turns["ts"].astype("datetime64[us]")  # Spark can't read NANOS parquet
-    pq.write_table(pa.Table.from_pandas(turns, preserve_index=False), path)
+    convs = turns["conv_id"].unique()
+    import numpy as np
+
+    part = {c: i % 32 for i, c in enumerate(convs)}
+    pid = turns["conv_id"].map(part).to_numpy()
+    for i in range(32):
+        chunk = turns[pid == i]
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(path, f"part-{i:02d}.parquet"),
+        )
     return path
 
 
@@ -104,9 +117,15 @@ def main() -> None:
     # proxy for N vs 4N executors per the north rule). Warm the page cache
     # before each so neither level pays the cold file read.
     def _warm():
-        with open(corpus, "rb") as f:
-            while f.read(1 << 24):
-                pass
+        files = (
+            [os.path.join(corpus, p) for p in os.listdir(corpus)]
+            if os.path.isdir(corpus)
+            else [corpus]
+        )
+        for fp in files:
+            with open(fp, "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
     _warm()
     lo = _run_pipeline_subprocess(SCALE_LO, corpus)
