@@ -484,6 +484,30 @@ _add(
 )
 
 
+# ---- BPE-ish token counting (training-data token budget estimation) --------
+# whitespace tokens vs a byte-pair-ish lexer (letter runs / digit runs /
+# single punctuation) — the ratio approximates tokenizer inflation
+_add(
+    "doc_bpe_token_stats",
+    """
+    SELECT doc_id,
+           size(split(trim(text), '\\\\s+')) AS ws_tokens,
+           size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS bpe_ish_tokens,
+           round(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) /
+                 cast(size(split(trim(text), '\\\\s+')) AS double), 6) AS inflation
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens,
+           round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) /
+                 cast(len(string_split_regex(trim(text), '\\s+')) AS double), 6) AS inflation
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    ["documents"],
+)
+
 # ---- P7: suspicious-pattern regex QA (find-suspicious.ts:27-58) ------------
 _add(
     "doc_regex_filter",
