@@ -154,7 +154,25 @@ _EXACT_PAIR_DUCK = f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fingerprint
     FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
 """
-_add("doc_exact_dup_pairs", _EXACT_PAIR_SPARK, _EXACT_PAIR_DUCK, ["documents"])
+# the driver testdata has no natural exact duplicates (the round-1 row was a
+# vacuously-green 0-row check), so the query plants salted copies of every
+# 50th doc INSIDE the query — reference behavior at duplicates.ts:97-108
+# (the exact-match arm actually firing) — with the DuckDB oracle in lockstep
+_EXACT_PLANTED = """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    f AS (SELECT doc_id, md5({norm}) AS fp FROM d)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fingerprint
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+"""
+_add(
+    "doc_exact_dup_pairs",
+    _EXACT_PLANTED.format(norm=_NORM_SPARK.format(c="text")),
+    _EXACT_PLANTED.format(norm=_NORM_DUCK.format(c="text")),
+    ["documents"],
+)
 
 # ---- A3/W2: argmax representative per fingerprint group --------------------
 _add(
@@ -710,6 +728,33 @@ _SUBSTR_ORACLE = f"""
 """
 
 
+# DuckDB oracle for the flagship: recursive-CTE transitive closure
+# (SURVEY.md section 5.2(3)) over the SQL-expressible edge arms — exact
+# (normalized-text equality) and substring containment. The engine's third
+# arm (LSH + est-Jaccard/Hamming verify) is not SQL-expressible; on the
+# driver testdata it contributes no cross-component edge beyond the first
+# two arms (asserted by tests/test_oracle_parity.py at sf0.01, and by this
+# very hash check every round), so the closures — and therefore the
+# min-member cluster ids — agree exactly.
+_COMPONENTS_ORACLE = f"""
+    WITH n AS (SELECT doc_id, {_NORM_DUCK.format(c='text')} AS norm FROM documents),
+    ex AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM n a JOIN n b
+           ON a.norm = b.norm AND length(a.norm) > 0 AND a.doc_id <> b.doc_id),
+    ss AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM n a JOIN n b
+           ON length(a.norm) > 0 AND length(a.norm) < length(b.norm)
+          AND position(a.norm IN b.norm) > 0),
+    edges AS (SELECT src, dst FROM ex UNION SELECT src, dst FROM ss
+              UNION SELECT dst, src FROM ss),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id FROM rec
+"""
+
+
 def _q_doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full three-detector dedup + connected components over the
     documents table; every doc gets a cluster id (own id if unique)."""
@@ -768,20 +813,39 @@ def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
-    The verify is exact, so no pair above threshold can be fabricated; the
-    O(n^2) SQL oracle checks nothing real was reported (the testdata's max
-    pairwise cosine ~0.51, so both sides are provably empty)."""
+
+    The testdata's max natural pairwise cosine is ~0.51, which made the
+    round-1 check vacuously green (0 rows on both sides) — so the query
+    plants colinear copies (every 20th vector scaled by 2: cosine exactly
+    1.0, scale-invariant) inside the query, with the exhaustive O(n^2)
+    DuckDB oracle planting the identical copies. The planted pairs MUST be
+    found (same sign pattern in every LSH table) and nothing else may be."""
+    from pyspark.sql import functions as F
+
     from transcript_dedup.embeddings import embedding_near_dup_pairs
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(vecs, threshold=0.9).selectExpr(
-        "id_a", "id_b", "cosine"
+    planted = vecs.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
     )
+    return embedding_near_dup_pairs(
+        vecs.unionByName(planted), threshold=0.9
+    ).selectExpr("id_a", "id_b", "cosine")
 
 
 _EMB_DUP_ORACLE = """
-    WITH n AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-               FROM embeddings)
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0),
+    n AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+          FROM u)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v) /
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
@@ -821,6 +885,10 @@ def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in _REGISTRY.items()}
     out["doc_substring_pairs"] = _SUBSTR_ORACLE
     out["emb_near_dup_pairs"] = _EMB_DUP_ORACLE
-    # doc_dedup_components / transcript_decisions / ann_lsh_topk: LSH band
-    # hashing + iterative CC are not SQL-expressible in DuckDB -> rows-only.
+    out["doc_dedup_components"] = _COMPONENTS_ORACLE
+    # transcript_decisions / ann_lsh_topk: MinHash/SimHash kernels, LSH band
+    # hashing and the rule cascade over them are not SQL-expressible in
+    # DuckDB -> rows-only here; transcript_decisions is value-hash-gated
+    # against the pure-Python reference oracle (oracle.oracle_decisions) in
+    # tests/test_oracle_parity.py instead.
     return out

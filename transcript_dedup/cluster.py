@@ -84,9 +84,11 @@ def connected_components(
     e = edges.select("conv_a", "conv_b")
 
     if cfg.cc_driver_threshold > 0:
-        # cheap upper bound first: only collect if actually small
-        if e.limit(cfg.cc_driver_threshold).count() < cfg.cc_driver_threshold:
-            rows = [(r[0], r[1]) for r in e.collect()]
+        # one incremental job: take(threshold) stops scanning once the edge
+        # set is provably large; if it came back short, it IS the edge list
+        head = e.take(cfg.cc_driver_threshold)
+        if len(head) < cfg.cc_driver_threshold:
+            rows = [(r[0], r[1]) for r in head]
             return _union_find_driver(edges.sparkSession, rows, counters)
     sym = e.unionByName(
         e.select(F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b"))

@@ -65,6 +65,11 @@ class DedupConfig:
     # sampled grams ALL get stopped are routed to the exhaustive tiny path,
     # preserving exact recall.
     substring_gram_maxdf: int = 300
+    # hard cap on the tiny-path (exhaustive broadcast) fallback doc count —
+    # a boilerplate-degenerate corpus would otherwise route unbounded work
+    # into the corpus-scan nested-loop join. Overflow fails loud when the
+    # pipeline runs with counters (the production path).
+    substring_tiny_cap: int = 10_000
 
     # --- skew handling ------------------------------------------------------
     # band keys with more than `cap` members get a dynamic salt of

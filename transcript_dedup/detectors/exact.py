@@ -3,8 +3,10 @@
 Graft analogue of the reference's artist+title exact match
 (/root/reference/src/duplicates.ts:97-108): two conversations are exact
 duplicates iff their F1-normalized reconstructed texts are equal (equality
-checked via xxhash64; the verify stage re-checks est-Jaccard so a 64-bit
-collision cannot create a false merge on its own).
+checked via xxhash64; the verify stage additionally requires
+est_jaccard == 1.0 — identical texts yield identical minhash arrays — so a
+64-bit content-hash collision cannot create a false merge on its own;
+verify.py m_content).
 
 Scale design: the reference's all-pairs loop would emit O(k^2) pairs per
 k-sized duplicate group. We emit **star edges** (group-min conv_id -> every

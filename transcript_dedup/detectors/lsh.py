@@ -36,9 +36,14 @@ from ..config import DedupConfig
 
 def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
     """conversations -> (conv_id, band_id, band_hash); empty docs skipped."""
-    bands_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
-        lambda b: F.xxhash64(b, F.slice("minhash", b * cfg.lsh_rows + 1, cfg.lsh_rows)),
+    # explicit per-band expressions (codegen) instead of
+    # transform(sequence(...), lambda) — HigherOrderFunctions run in the
+    # expression interpreter; 42 unrolled xxhash64(slice) terms compile
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice("minhash", b * cfg.lsh_rows + 1, cfg.lsh_rows))
+            for b in range(cfg.lsh_bands)
+        ]
     )
     return (
         conv.filter(F.col("n_shingles") > 0)

@@ -41,7 +41,15 @@ def _gram_pairs(
     conv: DataFrame, cfg: DedupConfig, counters: dict | None
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (candidate pairs from rare-gram collisions, ids of docs whose
-    sampled grams were ALL stopped — they need the exhaustive tiny path)."""
+    sampled grams were ALL stopped — they need the exhaustive tiny path).
+
+    One gram explode -> one df groupBy -> one join-back; the per-doc argmin
+    aggregation carries the min df, so "every gram stopped" is just
+    ``min_df > maxdf`` on the SAME aggregate — no anti-join, no
+    materialization barrier, no driver action. All consumers hang off shared
+    exchanges (AQE ReusedExchange), so the explode+count pipeline runs once
+    per pairs job even without a persist.
+    """
     nonempty = conv.filter(F.length("norm_text") > 0)
     grams = nonempty.select("conv_id", F.explode("sub_grams").alias("gram"))
     sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
@@ -50,28 +58,20 @@ def _gram_pairs(
             F.sum((F.col("df") > cfg.substring_gram_maxdf).cast("long")).alias("stop_grams")
         ).collect()[0]
         counters["substring_stop_grams"] = int(stats["stop_grams"] or 0)
-    # kept feeds both sides of the blocking join plus the fallback routing —
-    # persist eagerly or the explode+count pipeline reruns per consumer.
-    # (window-count df would save one exchange but sorts every partition —
-    # measured slower than hash-agg + join-back at this row count)
-    kept = grams.join(
-        sizes.filter(F.col("df") <= cfg.substring_gram_maxdf), "gram", "inner"
-    ).persist()
-    kept.count()
+    joined = grams.join(sizes, "gram", "inner")
+    # membership side of the blocking join: stop-listed grams dropped
+    kept = joined.filter(F.col("df") <= cfg.substring_gram_maxdf)
     # rarest-gram blocking: containment means the outer doc contains EVERY
     # inner gram, so the inner doc only needs to probe with its single
     # rarest (min-df) gram — join fan-out is df(rarest gram) per doc, never
     # quadratic in a gram's document frequency.
-    inner_keys = kept.groupBy("conv_id").agg(
-        F.min(F.struct("df", "gram")).getField("gram").alias("gram")
-    )
-    # docs that had grams but lost all of them to the stop list: exactly the
-    # docs with sampled grams that have no inner_keys row (cheap 60k-row
-    # anti-join, not a pass over the exploded gram table)
-    all_stopped = (
-        nonempty.filter(F.size("sub_grams") > 0)
-        .select("conv_id")
-        .join(inner_keys.select("conv_id"), "conv_id", "left_anti")
+    rarest = joined.groupBy("conv_id").agg(
+        F.min(F.struct("df", "gram")).alias("m")
+    ).select("conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram"))
+    inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf)
+    # docs whose grams were ALL stop-listed: min_df over every gram > maxdf
+    all_stopped = rarest.filter(F.col("min_df") > cfg.substring_gram_maxdf).select(
+        "conv_id"
     )
     pairs = (
         inner_keys.alias("a")
@@ -83,7 +83,7 @@ def _gram_pairs(
         )
         .distinct()
     )
-    return pairs, all_stopped, kept
+    return pairs, all_stopped
 
 
 def _tiny_pairs(
@@ -91,8 +91,16 @@ def _tiny_pairs(
 ) -> DataFrame:
     """Exhaustive (broadcast) pass for docs with no usable sampled grams:
     non-empty docs with zero sampled grams, plus docs whose grams were all
-    stop-listed. Their count is bounded (short or pure-boilerplate docs) and
-    surfaced via counters."""
+    stop-listed.
+
+    Scale guard: the broadcast side is hard-capped at
+    ``cfg.substring_tiny_cap`` rows (a boilerplate-degenerate corpus could
+    otherwise stuff the whole corpus into the fallback and turn this into a
+    corpus x corpus nested-loop scan). With counters on (the pipeline's
+    production path), an overflow FAILS LOUD; the bare-DataFrame path caps
+    deterministically-orderly (lowest conv_id first) and records nothing
+    only because it has nowhere to record.
+    """
     gramless = conv.filter(
         (F.length("norm_text") > 0) & (F.size("sub_grams") == 0)
     ).select("conv_id")
@@ -102,14 +110,19 @@ def _tiny_pairs(
         .join(conv.select("conv_id", "norm_text"), "conv_id")
         .select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
     )
-    # the broadcast contains-join scans the whole corpus — short-circuit the
-    # common case of zero fallback docs (one cheap count on the cached conv)
-    n_tiny = tiny.count()
     if counters is not None:
+        n_tiny = tiny.count()
         counters["substring_tiny_docs"] = n_tiny
-    if n_tiny == 0:
-        spark = conv.sparkSession
-        return spark.createDataFrame([], "conv_a string, conv_b string")
+        if n_tiny > cfg.substring_tiny_cap:
+            raise RuntimeError(
+                f"substring tiny-path fallback has {n_tiny} docs > cap "
+                f"{cfg.substring_tiny_cap}: corpus is boilerplate-degenerate "
+                f"for substring_gram_maxdf={cfg.substring_gram_maxdf}; raise "
+                "the cap/maxdf or disable the substring detector"
+            )
+    # cap the broadcast side by construction (deterministic order so the
+    # normal non-overflow case is exact and stable)
+    tiny = tiny.orderBy("t_id").limit(cfg.substring_tiny_cap)
     others = conv.filter(F.length("norm_text") > 0).select(
         F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
     )
@@ -162,7 +175,7 @@ def substring_candidates(
     verify_mode: str = "suffix_array",
 ) -> DataFrame:
     """conversations -> (conv_a, conv_b, src='substring') containment edges."""
-    gram_pairs, all_stopped, kept = _gram_pairs(conv, cfg, counters)
+    gram_pairs, all_stopped = _gram_pairs(conv, cfg, counters)
     raw = gram_pairs.unionByName(_tiny_pairs(conv, all_stopped, cfg, counters)).distinct()
 
     texts = conv.select("conv_id", "norm_text", F.length("norm_text").alias("len"))
@@ -206,7 +219,7 @@ def substring_candidates(
     )
 
     verified = _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)
-    # no materialization barrier here: the single downstream consumer
-    # (verify stage) triggers it; kept's cache stays alive for that run —
-    # bounded (gram rows ~ chars/mod) and reclaimed with the session
+    # no materialization barrier anywhere in this detector: the single
+    # downstream consumer (verify stage) triggers the whole dataflow in one
+    # job; the gram explode/df exchanges are shared via ReusedExchange
     return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))

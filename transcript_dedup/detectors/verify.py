@@ -107,7 +107,13 @@ def verify_candidates(
         quality_score("a_").alias("a_q"),
         quality_score("b_").alias("b_q"),
     )
+    # second factor on the exact arm: identical texts have identical minhash
+    # arrays, so est_jaccard == 1.0 exactly; a 64-bit content_hash collision
+    # between different texts (expected O(1) at 10^10 docs) would need a
+    # simultaneous full-signature collision to cause a false merge
     scored = scored.withColumn(
+        "m_content", F.col("m_content") & (F.col("est_jaccard") == F.lit(1.0))
+    ).withColumn(
         "m_fuzzy",
         F.array_contains("srcs", "lsh")
         & (

@@ -6,13 +6,17 @@ random-hyperplane LSH-bucketed variant as the scale path (same
 candidate-generation-then-verify shape as the text detectors), and
 embedding near-duplicate pair detection.
 
-All vector math stays JVM-side (zip_with/aggregate expressions compile to
-codegen); the only Python is none at all.
+Exact cosine verification stays JVM-side (zip_with/aggregate expressions);
+the LSH bucket signatures are one vectorized Arrow kernel (a single matrix
+multiply per batch) — planes are generated inside the kernel from the seed,
+never shipped as plan literals, and every hash table comes out of the same
+single input scan.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,43 +70,51 @@ def brute_force_topk(
     )
 
 
-def hyperplane_planes(dim: int, n_planes: int, n_tables: int, seed: int = 7) -> list[list[list[float]]]:
+def hyperplane_planes(dim: int, n_planes: int, n_tables: int, seed: int = 7) -> np.ndarray:
     """Seeded random hyperplanes: n_tables independent sign-LSH tables of
-    n_planes each (cos-similarity LSH, Charikar 2002)."""
+    n_planes each (cos-similarity LSH, Charikar 2002). Shape
+    (n_tables * n_planes, dim); deterministic given (dim, shape, seed), so
+    every Arrow worker regenerates identical planes from the config alone —
+    nothing is shipped through the plan or the closure."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_tables, n_planes, dim)).round(6).tolist()
+    return rng.standard_normal((n_tables * n_planes, dim))
 
 
 def lsh_bucket_keys(
     df: DataFrame,
-    planes: list[list[list[float]]],
+    n_planes: int,
+    n_tables: int,
+    seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """-> (id, table_id, bucket): sign-pattern bucket per hash table.
 
-    Bucket = xxhash64 of the sign bits; planes are literal arrays folded
-    into the plan (no Python at eval time).
-    """
-    rows = []
-    for t, table in enumerate(planes):
-        signs = F.array(
-            *[
-                (_dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in plane])) >= 0).cast("int")
-                for plane in table
-            ]
-        )
-        rows.append(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.lit(t).alias("table_id"),
-                F.xxhash64(F.lit(t), signs).alias("bucket"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ONE vectorized Arrow kernel computes every table's bucket in a single
+    pass (batch matrix multiply against the seeded planes, sign bits packed
+    into an int64 per table — the packed bits ARE the bucket key), then one
+    posexplode fans out (table_id, bucket) rows. No per-table re-scan of the
+    input, no plan literals, no driver-side dimension probe: the kernel
+    reads the dimension off its first batch."""
+    n_pl, n_tb, sd = int(n_planes), int(n_tables), int(seed)
+    if n_pl > 63:
+        raise ValueError("n_planes must be <= 63 (sign bits pack into int64)")
+
+    @F.pandas_udf("array<bigint>")
+    def bucket_sig(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        planes = hyperplane_planes(mat.shape[1], n_pl, n_tb, sd)
+        signs = (mat @ planes.T) >= 0  # (batch, n_tables*n_planes)
+        bits = signs.reshape(len(mat), n_tb, n_pl).astype(np.int64)
+        keys = (bits << np.arange(n_pl, dtype=np.int64)[None, None, :]).sum(axis=2)
+        return pd.Series(list(keys))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bucket_sig(F.col(vec_col))).alias("table_id", "bucket"),
+    )
 
 
 def ann_lsh_topk(
@@ -120,10 +132,8 @@ def ann_lsh_topk(
     LSH; at 100 TB the bucket join replaces the O(n*q) cross product."""
     from pyspark.sql import Window
 
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = hyperplane_planes(dim, n_planes, n_tables, seed)
-    vk = lsh_bucket_keys(vectors, planes, id_col, vec_col)
-    qk = lsh_bucket_keys(queries, planes, id_col, vec_col)
+    vk = lsh_bucket_keys(vectors, n_planes, n_tables, seed, id_col, vec_col)
+    qk = lsh_bucket_keys(queries, n_planes, n_tables, seed, id_col, vec_col)
     cand = (
         vk.join(qk.withColumnRenamed("id", "qid"), ["table_id", "bucket"])
         .filter(F.col("id") != F.col("qid"))
@@ -159,10 +169,10 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold) via
-    bucket-join candidates + exact verify. Output (id_a, id_b, cosine)."""
-    dim = len(vectors.select(vec_col).first()[0])
-    planes = hyperplane_planes(dim, n_planes, n_tables, seed)
-    keys = lsh_bucket_keys(vectors, planes, id_col, vec_col)
+    bucket-join candidates + exact verify. Output (id_a, id_b, cosine).
+    The threshold is applied to the UNROUNDED cosine (the rounding is for
+    display/hash stability only)."""
+    keys = lsh_bucket_keys(vectors, n_planes, n_tables, seed, id_col, vec_col)
     cand = (
         keys.alias("a")
         .join(keys.alias("b"), ["table_id", "bucket"])
@@ -179,9 +189,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                cosine_col(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
-            ).alias("cosine"),
+            cosine_col(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -168,6 +168,10 @@ def run_dedup_dataframes(
     cfg = cfg or DedupConfig()
     if conv.storageLevel == StorageLevel.NONE:
         conv = conv.persist()
+    # materialize the cache NOW: the pairs job fans conv out into many
+    # concurrent AQE query-stages, and racing past an unpopulated cache
+    # recomputes the signature kernel once per racing stage (measured)
+    conv.count()
     cand = (
         exact_candidates(conv)
         .unionByName(lsh_candidates(conv, cfg, counters))
