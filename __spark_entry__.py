@@ -811,6 +811,111 @@ def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_region_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 memo-cache analogue (reference cache.ts memoized lookups): a small
+    dimension (region x nation) is explicitly broadcast — shipped once to
+    every executor like a memo table — and probed by the big fact join.
+    tests/test_metadata_fixer.py asserts the plan contains
+    BroadcastHashJoin (no shuffle of the fact side for the dim join)."""
+    from pyspark.sql import functions as F
+
+    _register(spark, sf_dir, ["region", "nation", "customer", "orders"])
+    dim = (
+        spark.table("nation")
+        .join(spark.table("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey"), F.col("r_name"))
+    )
+    fact = spark.table("orders").join(
+        spark.table("customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        fact.join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_REGION_ROLLUP_ORACLE = """
+    SELECT r.r_name, count(*) AS n_orders,
+           cast(sum(cast(o.o_totalprice AS decimal(18,2))) AS double) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+"""
+
+
+def _q_doc_metadata_fixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata repair stage (metadata-fixer.ts:29-178 + inference.ts:34-47
+    analogue): the testdata has no missing metadata, so the query blanks
+    lang for every 7th doc and nulls source for every 11th INSIDE the query
+    (oracle in lockstep), then repairs from content: stopword-profile
+    language inference + leading-token source label, confidence medium/low,
+    S11 skip flag for uninferable fields."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.metadata_fixer import fix_document_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    return fix_document_metadata(planted).select(
+        "doc_id", "lang", "source", "fixed_fields", "confidence", "inference_source", "skipped"
+    )
+
+
+_STOP_DUCK = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+_METADATA_FIXER_ORACLE = f"""
+    WITH planted AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0 THEN '' ELSE lang END AS lang,
+             CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source
+      FROM documents),
+    n AS (SELECT *, {_NORM_DUCK.format(c='text')} AS nm FROM planted),
+    calc AS (
+      SELECT doc_id, lang, source,
+             (lang IS NULL OR trim(lang) = '') AS miss_lang,
+             (source IS NULL OR trim(source) = '') AS miss_source,
+             CASE WHEN len(list_filter(string_split(nm, ' '), t -> t IN {_STOP_DUCK}))
+                       >= 0.05 * len(string_split(nm, ' '))
+                  THEN 'en' END AS inf_lang,
+             CASE WHEN length(string_split(nm, ' ')[1]) >= 3
+                  THEN 'inferred:' || string_split(nm, ' ')[1] END AS inf_source
+      FROM n),
+    fixed AS (
+      SELECT doc_id,
+             CASE WHEN miss_lang THEN inf_lang ELSE lang END AS lang,
+             CASE WHEN miss_source THEN inf_source ELSE source END AS source,
+             coalesce(array_to_string(list_filter(
+               [CASE WHEN miss_lang AND inf_lang IS NOT NULL THEN 'lang' END,
+                CASE WHEN miss_source AND inf_source IS NOT NULL THEN 'source' END],
+               x -> x IS NOT NULL), ','), '') AS fixed_fields,
+             (CAST(miss_lang AS int) + CAST(miss_source AS int)) AS n_missing,
+             (CAST(miss_lang AND inf_lang IS NOT NULL AS int) +
+              CAST(miss_source AND inf_source IS NOT NULL AS int)) AS n_fixed
+      FROM calc)
+    SELECT doc_id, lang, source, fixed_fields,
+           CASE WHEN n_missing = 0 THEN ''
+                WHEN n_fixed = n_missing THEN 'medium'
+                ELSE 'low' END AS confidence,
+           CASE WHEN n_fixed > 0 THEN 'parsed-from-content' ELSE '' END AS inference_source,
+           n_fixed < n_missing AS skipped
+    FROM fixed
+"""
+
+
 def _q_emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH buckets + exact verify.
 
@@ -878,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["transcript_decisions"] = _q_transcript_decisions
     out["emb_near_dup_pairs"] = _q_emb_near_dup_pairs
     out["ann_lsh_topk"] = _q_ann_lsh_topk
+    out["doc_metadata_fixer"] = _q_doc_metadata_fixer
+    out["region_broadcast_rollup"] = _q_region_broadcast_rollup
     return out
 
 
@@ -886,6 +993,8 @@ def oracle_sql() -> dict[str, str]:
     out["doc_substring_pairs"] = _SUBSTR_ORACLE
     out["emb_near_dup_pairs"] = _EMB_DUP_ORACLE
     out["doc_dedup_components"] = _COMPONENTS_ORACLE
+    out["doc_metadata_fixer"] = _METADATA_FIXER_ORACLE
+    out["region_broadcast_rollup"] = _REGION_ROLLUP_ORACLE
     # transcript_decisions / ann_lsh_topk: MinHash/SimHash kernels, LSH band
     # hashing and the rule cascade over them are not SQL-expressible in
     # DuckDB -> rows-only here; transcript_decisions is value-hash-gated

@@ -64,6 +64,91 @@ def test_incremental_equals_batch(spark, cfg, split_corpus, tmp_path):
     assert got == want
 
 
+def test_per_batch_writes_are_batch_sized(spark, cfg, split_corpus, tmp_path):
+    """North-rule incrementality: each micro-batch WRITES O(batch) rows —
+    conversation deltas equal the batch's conversation count, never the
+    corpus (the round-1 design rewrote the full corpus per batch)."""
+    d, turns_pdf, _ = split_corpus
+    out = tmp_path / "state"
+    sd = StreamingDedup(spark, str(out), cfg, compact_every=0)
+    b0 = spark.read.parquet(str(d / "b0"))
+    b1 = spark.read.parquet(str(d / "b1"))
+    n0 = b0.select("conv_id").distinct().count()
+    n1 = b1.select("conv_id").distinct().count()
+    sd.process_batch(b0, 0)
+    sd.process_batch(b1, 1)
+
+    man = sd.io._load()["tables"]
+    conv_snaps = man["conversations"]["snapshots"]
+    assert [s["mode"] for s in conv_snaps] == ["append", "append"]
+    assert [s["delta_rows"] for s in conv_snaps] == [n0, n1]
+    # total readable rows = whole corpus exactly once
+    assert sd.stored_conversations().count() == n0 + n1
+    # pair/decision deltas exist per batch and are append-mode (O(batch))
+    for t in ("candidate_pairs", "decisions", "components"):
+        assert all(s["mode"] == "append" for s in man[t]["snapshots"])
+
+
+def test_redelivery_and_compaction(spark, cfg, split_corpus, tmp_path):
+    """Re-delivered conversations (changed content) are last-write-wins via
+    equality-delete tombstones; affected components are re-solved (splits
+    included); compaction folds the append chain and preserves the state."""
+    import pandas as pd
+
+    from transcript_dedup.cluster import connected_components
+    from transcript_dedup.detectors import exact_candidates, lsh_candidates
+    from transcript_dedup.detectors.verify import verify_candidates
+
+    _, turns_pdf, _ = split_corpus
+    # batch 0: full corpus; batch 1: re-deliver 10 conversations with edited
+    # text (breaks some duplicate relationships -> component splits)
+    convs = sorted(turns_pdf.conv_id.unique())
+    redeliver = set(convs[3:40:4])
+    edited = turns_pdf[turns_pdf.conv_id.isin(redeliver)].copy()
+    edited["text"] = "EDITED DIVERGENT CONTENT " + edited["conv_id"] + " " + edited["turn_idx"].astype(str)
+    final_pdf = pd.concat(
+        [turns_pdf[~turns_pdf.conv_id.isin(redeliver)], edited], ignore_index=True
+    )
+
+    sd = StreamingDedup(spark, str(tmp_path / "state"), cfg, compact_every=2)
+    sd.process_batch(corpus_to_spark(spark, turns_pdf), 0)
+    sd.process_batch(corpus_to_spark(spark, edited), 1)  # triggers compaction
+
+    # compaction folded each table to a single data path + empty tombstones
+    man = sd.io._load()["tables"]
+    assert len(sd.io.current_snapshot("conversations")["paths"]) == 1
+    assert sd.io.current_snapshot("conv_deletes")["rows"] == 0
+
+    got = {
+        r["conv_id"]: r["component_id"] for r in sd.stored_components().collect()
+    }
+    conv = add_signatures(
+        reconstruct_conversations(corpus_to_spark(spark, final_pdf)), cfg
+    )
+    cand = exact_candidates(conv).unionByName(lsh_candidates(conv, cfg))
+    pairs = verify_candidates(cand, conv, cfg)
+    want = {
+        r["conv_id"]: r["component_id"]
+        for r in connected_components(pairs.filter("is_match"), cfg).collect()
+    }
+    assert got == want
+    # decisions state matches the batch pipeline's decision KEY set
+    from transcript_dedup.decide import find_conflicts, make_decisions
+
+    want_dec = {
+        (r["group_id"], ",".join(r["keep"]), ",".join(r["delete"]), r["rule_applied"])
+        for r in make_decisions(
+            connected_components(pairs.filter("is_match"), cfg), conv, pairs, cfg
+        ).collect()
+    }
+    got_dec = {
+        (r["group_id"], ",".join(r["keep"]), ",".join(r["delete"]), r["rule_applied"])
+        for r in sd.stored_decisions().collect()
+    }
+    assert got_dec == want_dec
+    assert find_conflicts(sd.stored_decisions()).count() == 0
+
+
 def test_stream_api_runs(spark, cfg, split_corpus, tmp_path):
     """Drive the actual readStream/writeStream path with availableNow."""
     d, _, _ = split_corpus

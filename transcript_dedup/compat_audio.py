@@ -33,7 +33,10 @@ from .normalize import normalize_text
 #: duplicates.ts:178-185 separator priority (first separator FOUND in this
 #: order wins, split at its first occurrence)
 SEPARATORS = [" - ", " – ", " — ", "_-_", " _ "]
-LEN_BUCKET_W = 32  # lossless for normalized filenames up to 320 chars
+#: minimum length-bucket width; the actual width is derived at runtime from
+#: max(length(normalized filename)) so the +/-1-bucket adjacency stays
+#: lossless for arbitrarily long names (see find_duplicate_pairs)
+LEN_BUCKET_W = 32
 
 
 def strip_extension(c):
@@ -130,8 +133,14 @@ def find_duplicates_compat(
         & (normalize_text(F.col("a._pt")) == normalize_text(F.col("b._pt"))),
     )
     c3 = _cand(a, b, F.col("a._nf") == F.col("b._nf"))
-    # length-bucket blocking for the Levenshtein arm
-    ab = p.withColumn("_bkt", F.floor(F.length("_nf") / LEN_BUCKET_W))
+    # length-bucket blocking for the Levenshtein arm. Bucket width is derived
+    # from the data at runtime: the d in {-1,0,1} adjacency is lossless only
+    # while 0.1 * max_len <= W, so W grows with the longest normalized name
+    # (one tiny max() aggregate — the compat corpus is the reference's own
+    # driver-scale workload)
+    max_len = p.agg(F.max(F.length("_nf"))).collect()[0][0] or 0
+    bucket_w = max(LEN_BUCKET_W, -(-int(max_len) // 10))  # ceil(max_len/10)
+    ab = p.withColumn("_bkt", F.floor(F.length("_nf") / bucket_w))
     la, lb = ab.alias("a"), ab.alias("b")
     c4_parts = []
     for d in (-1, 0, 1):
@@ -210,8 +219,14 @@ def find_duplicates_compat(
             ),
             lambda x: x.isNotNull(),
         ).alias("match_reasons"),
-        # selectBestFile: strict > keeps first-seen; iteration order is
-        # [path_a, path_b] (duplicates.ts:198-225)
+        # selectBestFile: strict > so ties keep the FIRST side
+        # (duplicates.ts:198-225). The reference's "first" is Map-insertion
+        # (directory-scan) order, which has no distributed equivalent; this
+        # engine's deterministic stand-in is path order (path_a < path_b by
+        # construction), so score-TIED pairs may keep a different member than
+        # a reference run whose scan order differs from path order. Exact
+        # parity holds whenever scores differ or scan order is path-sorted
+        # (the parity test fixes scan order to path order for this reason).
         F.when(b_score > a_score, F.col("path_b")).otherwise(F.col("path_a")).alias(
             "suggested_keep"
         ),

@@ -2,21 +2,27 @@
 
 The reference is batch-only with file-based resume (SURVEY.md 2.10); the
 engine's snapshot/anti-join resume covers that. This module adds the
-streaming growth path the metrics design left room for: new transcript
-files land in a directory, each micro-batch is deduplicated **against the
-already-committed corpus** — detector joins run new-vs-all, never
-all-vs-all, so per-batch cost is proportional to batch size, not corpus
-size:
+streaming growth path with **O(batch) state maintenance per micro-batch**:
 
-  exact:   xxhash64(new) equi-join against stored content hashes
-  LSH:     band keys of new equi-join band keys of (stored + new)
-  (substring runs in the batch pipeline; its gram index is corpus-global
-   and is intentionally not maintained incrementally in v1 — documented.)
+  - detector joins run new-vs-all (never all-vs-all): exact hashes and LSH
+    band keys of the NEW conversations probe the stored corpus;
+  - state tables are APPEND-ONLY deltas (TableIO mode='append' writes only
+    the batch's rows) plus tiny equality-delete tombstone tables — the
+    Iceberg equality-delete pattern. A reader resolves
+    ``row._seq >= max(tombstone._seq)`` per key; tombstones only exist for
+    re-delivered conversations and re-clustered components, so they stay
+    O(churn), and periodic compaction (``compact_every``) folds the chain
+    back into a single snapshot;
+  - connected components run INCREMENTALLY: only components touched by new
+    edges or re-delivered conversations are re-solved (merge AND split are
+    handled, because the affected subgraph is re-clustered from its valid
+    pairs), and only their membership/decision rows are rewritten;
+  - (substring runs in the batch pipeline; its gram index is corpus-global
+    and is intentionally not maintained incrementally in v1 — documented.)
 
-State lives in the same TableIO snapshot tables as the batch pipeline
-(conversations, candidate_pairs, components, decisions), so a stream can
-take over from a batch bootstrap and vice versa; Structured Streaming's
-checkpointLocation provides exactly-once micro-batch tracking on top.
+Structured Streaming's checkpointLocation provides exactly-once micro-batch
+tracking on top; a stream can take over from a batch bootstrap because the
+state lives in the same TableIO tables.
 """
 
 from __future__ import annotations
@@ -72,60 +78,203 @@ def _incremental_candidates(new: DataFrame, all_: DataFrame, cfg: DedupConfig) -
 
 
 class StreamingDedup:
-    def __init__(self, spark: SparkSession, out_dir: str, cfg: DedupConfig | None = None):
+    """Incremental state layout (all through TableIO):
+
+    conversations      +_seq   append-only conv deltas
+    conv_deletes               (conv_id, _seq) — re-delivered ids
+    candidate_pairs    +_seq   append-only verified-pair deltas
+    components         +_seq   append-only (conv_id, component_id) deltas
+    component_deletes          (conv_id, _seq) — membership invalidations
+    decisions          +_seq   append-only decision deltas
+    decision_deletes           (group_id, _seq) — decision invalidations
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        cfg: DedupConfig | None = None,
+        compact_every: int = 8,
+    ):
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.io = TableIO(out_dir)
+        self.compact_every = compact_every
 
-    # -- state ----------------------------------------------------------
-    def _stored_conversations(self) -> DataFrame | None:
-        if self.io.current_snapshot("conversations") is None:
+    # -- tombstone-resolving readers --------------------------------------
+    def _tombstones(self, table: str) -> DataFrame | None:
+        if self.io.current_snapshot(table) is None:
             return None
-        return self.io.read(self.spark, "conversations")
+        t = self.io.read(self.spark, table)
+        key = t.columns[0]  # conv_id / group_id
+        return t.groupBy(key).agg(F.max("_seq").alias("_del_seq"))
 
-    def _stored_pairs(self) -> DataFrame | None:
-        if self.io.current_snapshot("candidate_pairs") is None:
+    def _resolve(self, rows: DataFrame, tomb: DataFrame | None, keys: list[str]) -> DataFrame:
+        """Equality-delete resolution: drop rows older than a tombstone on
+        any of ``keys``. Tombstone sets are O(churn) -> broadcast joins."""
+        if tomb is None:
+            return rows
+        for k in keys:
+            t = tomb.withColumnRenamed(tomb.columns[0], k).withColumnRenamed(
+                "_del_seq", f"_del_{k}"
+            )
+            rows = rows.join(F.broadcast(t), k, "left").filter(
+                F.col(f"_del_{k}").isNull() | (F.col("_seq") >= F.col(f"_del_{k}"))
+            ).drop(f"_del_{k}")
+        return rows
+
+    def _read_state(self, table: str, tomb_table: str, keys: list[str]) -> DataFrame | None:
+        if self.io.current_snapshot(table) is None:
             return None
-        return self.io.read(self.spark, "candidate_pairs")
+        rows = self.io.read(self.spark, table)
+        return self._resolve(rows, self._tombstones(tomb_table), keys)
 
-    # -- one micro-batch --------------------------------------------------
+    def stored_conversations(self) -> DataFrame | None:
+        return self._read_state("conversations", "conv_deletes", ["conv_id"])
+
+    def stored_pairs(self) -> DataFrame | None:
+        return self._read_state("candidate_pairs", "conv_deletes", ["conv_a", "conv_b"])
+
+    def stored_components(self) -> DataFrame | None:
+        return self._read_state("components", "component_deletes", ["conv_id"])
+
+    def stored_decisions(self) -> DataFrame | None:
+        return self._read_state("decisions", "decision_deletes", ["group_id"])
+
+    # -- one micro-batch ----------------------------------------------------
     def process_batch(self, turns_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
+        seq = F.lit(int(batch_id)).cast("long")
         new = add_signatures(reconstruct_conversations(turns_batch), cfg).persist()
         if new.isEmpty():
             return
-        stored = self._stored_conversations()
+        stored = self.stored_conversations()
+
+        # ---- conversations: O(batch) delta + tombstones for re-delivery --
         if stored is not None:
-            # last-write-wins on re-delivered conv_ids (S5 semantics)
-            stored = stored.join(new.select("conv_id"), "conv_id", "left_anti")
-            all_ = stored.unionByName(new).persist()
+            redelivered = (
+                new.select("conv_id")
+                .join(stored.select("conv_id"), "conv_id", "left_semi")
+                .persist()
+            )
+            n_redelivered = redelivered.count()
+            stored_live = stored.join(redelivered, "conv_id", "left_anti")
+            all_ = stored_live.drop("_seq").unionByName(new).persist()
         else:
+            redelivered = None
+            n_redelivered = 0
             all_ = new
+        self.io.write(new.withColumn("_seq", seq), "conversations", mode="append")
+        if n_redelivered:
+            self.io.write(
+                redelivered.withColumn("_seq", seq), "conv_deletes", mode="append"
+            )
+
+        # ---- new-vs-all detector pass (exact + LSH) ----------------------
         cand = _incremental_candidates(new, all_, cfg)
-        new_pairs = verify_candidates(cand, all_, cfg)
-        prev = self._stored_pairs()
-        if prev is not None:
-            # drop stored pairs that touch re-delivered convs, then append
-            prev = prev.join(
-                new.select(F.col("conv_id").alias("conv_a")), "conv_a", "left_anti"
-            ).join(new.select(F.col("conv_id").alias("conv_b")), "conv_b", "left_anti")
-            pairs = prev.unionByName(new_pairs.select(*prev.columns))
+        new_pairs = verify_candidates(cand, all_, cfg).persist()
+        self.io.write(new_pairs.withColumn("_seq", seq), "candidate_pairs", mode="append")
+
+        # ---- incremental connected components -----------------------------
+        # touched = endpoints of new matched edges + re-delivered convs;
+        # affected components = stored components containing any touched node
+        new_matched = new_pairs.filter("is_match").select("conv_a", "conv_b").persist()
+        touched = (
+            new_matched.select(F.col("conv_a").alias("conv_id"))
+            .unionByName(new_matched.select(F.col("conv_b").alias("conv_id")))
+        )
+        if redelivered is not None:
+            touched = touched.unionByName(redelivered)
+        touched = touched.distinct()
+
+        prev_comps = self.stored_components()
+        if prev_comps is not None:
+            affected_ids = (
+                prev_comps.join(touched, "conv_id", "left_semi")
+                .select("component_id")
+                .distinct()
+            )
+            affected_members = prev_comps.join(
+                F.broadcast(affected_ids), "component_id", "left_semi"
+            ).select("conv_id")
+            # valid stored matched pairs inside affected components
+            sp = self.stored_pairs()
+            sub_stored = sp.filter("is_match").join(
+                F.broadcast(affected_members.withColumnRenamed("conv_id", "conv_a")),
+                "conv_a",
+                "left_semi",
+            )
+            sub_pairs = sub_stored.select("conv_a", "conv_b").unionByName(new_matched)
+            all_affected = affected_members.unionByName(
+                touched
+            ).distinct()
         else:
-            pairs = new_pairs
-        pairs = pairs.persist()
+            affected_members = None
+            sub_pairs = new_matched
+            sub_stored = None
+            all_affected = touched
 
-        comps = connected_components(pairs.filter("is_match"), cfg)
-        decisions = make_decisions(comps, all_, pairs, cfg)
+        comps_new = connected_components(sub_pairs, cfg).persist()
 
-        fp = f"stream-batch-{batch_id}"
-        self.io.write(all_, "conversations", fingerprint=fp)
-        self.io.write(pairs, "candidate_pairs", fingerprint=fp)
-        self.io.write(comps, "components", fingerprint=fp)
-        self.io.write(decisions, "decisions", fingerprint=fp)
-        new.unpersist()
-        pairs.unpersist()
+        # membership tombstones: every node whose component was re-solved
+        self.io.write(
+            all_affected.withColumn("_seq", seq), "component_deletes", mode="append"
+        )
+        self.io.write(comps_new.withColumn("_seq", seq), "components", mode="append")
 
-    # -- the stream -------------------------------------------------------
+        # ---- decisions for the re-solved components only -------------------
+        pairs_for_conf = (
+            new_pairs if sub_stored is None
+            else sub_stored.select(*new_pairs.columns).unionByName(new_pairs)
+        )
+        dec_new = make_decisions(comps_new, all_, pairs_for_conf, cfg)
+        old_groups = (
+            affected_ids.withColumnRenamed("component_id", "group_id")
+            if prev_comps is not None
+            else self.spark.createDataFrame([], "group_id string")
+        )
+        dead_groups = old_groups.unionByName(
+            dec_new.select("group_id")
+        ).distinct()
+        self.io.write(dead_groups.withColumn("_seq", seq), "decision_deletes", mode="append")
+        self.io.write(dec_new.withColumn("_seq", seq), "decisions", mode="append")
+
+        # ---- periodic compaction -------------------------------------------
+        if self.compact_every and (int(batch_id) + 1) % self.compact_every == 0:
+            self.compact()
+
+        for df in (new, new_pairs, new_matched, comps_new):
+            df.unpersist()
+        if redelivered is not None:
+            redelivered.unpersist()
+
+    # -- compaction ----------------------------------------------------------
+    def compact(self) -> None:
+        """Fold append chains into single snapshots with tombstones applied,
+        then reset the tombstone tables (Iceberg rewrite_data_files +
+        rewrite_position_delete_files analogue)."""
+        for table, reader in (
+            ("conversations", self.stored_conversations),
+            ("candidate_pairs", self.stored_pairs),
+            ("components", self.stored_components),
+            ("decisions", self.stored_decisions),
+        ):
+            resolved = reader()
+            if resolved is not None:
+                self.io.write(resolved, table, mode="overwrite")
+        for tomb, key in (
+            ("conv_deletes", "conv_id"),
+            ("component_deletes", "conv_id"),
+            ("decision_deletes", "group_id"),
+        ):
+            if self.io.current_snapshot(tomb) is not None:
+                self.io.write(
+                    self.spark.createDataFrame([], f"{key} string, _seq long"),
+                    tomb,
+                    mode="overwrite",
+                )
+
+    # -- the stream -----------------------------------------------------------
     def start(self, input_dir: str, checkpoint_dir: str, available_now: bool = True):
         stream = (
             self.spark.readStream.schema(TURNS_SCHEMA)
