@@ -149,6 +149,79 @@ def test_redelivery_and_compaction(spark, cfg, split_corpus, tmp_path):
     assert find_conflicts(sd.stored_decisions()).count() == 0
 
 
+def test_windowed_turn_counts_watermark(spark, tmp_path):
+    """Native Structured Streaming path: tumbling-window rollup with a
+    watermark — a row later than the watermark is DROPPED (bounded state),
+    a closed window emits exactly once in append mode."""
+    import time as _time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.streaming import TURNS_SCHEMA, windowed_turn_counts
+
+    d = tmp_path / "in"
+    os.makedirs(d)
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / name))
+        _time.sleep(0.3)  # distinct mod times -> deterministic batch order
+
+    # batch 0: 3 rows in window 10:00-10:10 + 1 row at 12:00 that will push
+    # the watermark (30 min delay) to 11:30 for batch 1
+    write(
+        "b0.parquet",
+        [
+            ("c1", 0, "u", "a", "", "2026-01-01 10:01:00"),
+            ("c1", 1, "u", "b", "", "2026-01-01 10:02:00"),
+            ("c2", 0, "u", "c", "", "2026-01-01 10:05:00"),
+            ("c3", 0, "u", "d", "", "2026-01-01 12:00:00"),
+        ],
+    )
+    # batch 1: advances the watermark to 12:30; the 10:00 window's state is
+    # emitted + EVICTED here (append mode)
+    write("b1.parquet", [("c5", 0, "u", "e", "", "2026-01-01 13:00:00")])
+    # batch 2: a row for the long-closed 10:00 window — beyond the
+    # watermark, state already evicted -> dropped by the engine (the
+    # bounded-state late-data contract)
+    write("b2.parquet", [("c4", 0, "u", "late", "", "2026-01-01 10:03:00")])
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        windowed_turn_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        str(r["window_start"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # 10:00 window emitted once with the 3 on-time rows; 12:00 window with
+    # 1; the 13:00 window never closed -> absent; the late row created no
+    # duplicate 10:00 output row
+    assert got == {"2026-01-01 10:00:00": 3, "2026-01-01 12:00:00": 1}, got
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, [p.get("stateOperators") for p in q.recentProgress]
+
+
 def test_stream_api_runs(spark, cfg, split_corpus, tmp_path):
     """Drive the actual readStream/writeStream path with availableNow."""
     d, _, _ = split_corpus

@@ -54,59 +54,75 @@ def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
 def lsh_candidates(
     conv: DataFrame, cfg: DedupConfig, counters: dict | None = None
 ) -> DataFrame:
-    """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh')."""
-    keys = band_keys(conv, cfg)
+    """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh').
 
-    # pass 1: band-key group sizes. A window count would be one exchange
-    # instead of two, but window exec sorts every partition — measured
-    # slower than hash-agg + join-back at 10M+ keys; keep the groupBy.
-    sizes = keys.groupBy("band_id", "band_hash").agg(F.count("*").alias("sz"))
+    ONE shuffle: band keys are grouped once (collect_list of members per
+    band key) and candidate pairs are generated MAP-SIDE from each group's
+    member list — the former sizes-groupBy + join-back + salted self-join
+    (two more 10M-row exchanges, the dominant bandwidth-bound waves in the
+    240k profile) collapse into per-group combination expressions. Group
+    fan-out stays bounded exactly as before:
+
+      sz > band_key_drop             -> stop-band, no pairs (counted);
+      band_key_cap < sz <= drop      -> members salted with
+                                        pmod(xxhash64(conv_id), ceil(sz/cap))
+                                        (bounded by band_salt_max); pairs
+                                        only within a salt subgroup — the
+                                        identical pair set the salted
+                                        self-join produced;
+      sz <= cap                      -> all within-group pairs (<= cap^2/2).
+
+    Most band keys are singletons (~4.4M distinct keys for 5M rows at 120k),
+    so the per-group lists stay tiny and the emitted pair count is unchanged.
+    Duplicate pairs across bands are absorbed by the verify stage's
+    groupBy(conv_a, conv_b), as before.
+    """
+    keys = band_keys(conv, cfg)
+    groups = keys.groupBy("band_id", "band_hash").agg(
+        F.collect_list("conv_id").alias("m")
+    )
+    sz = F.size("m")
 
     if counters is not None:
-        stats = sizes.agg(
-            F.sum(F.when(F.col("sz") > cfg.band_key_drop, F.col("sz"))).alias("dropped_rows"),
-            F.sum((F.col("sz") > cfg.band_key_drop).cast("long")).alias("dropped_keys"),
+        stats = groups.agg(
+            F.sum(F.when(sz > cfg.band_key_drop, sz)).alias("dropped_rows"),
+            F.sum((sz > cfg.band_key_drop).cast("long")).alias("dropped_keys"),
             F.sum(
-                ((F.col("sz") > cfg.band_key_cap) & (F.col("sz") <= cfg.band_key_drop)).cast("long")
+                ((sz > cfg.band_key_cap) & (sz <= cfg.band_key_drop)).cast("long")
             ).alias("salted_keys"),
         ).collect()[0]
         counters["lsh_stop_band_rows"] = int(stats["dropped_rows"] or 0)
         counters["lsh_stop_band_keys"] = int(stats["dropped_keys"] or 0)
         counters["lsh_salted_keys"] = int(stats["salted_keys"] or 0)
 
-    # pass 2: drop stop-bands, dynamically salt hot keys so subgroups stay
-    # ~cap-sized.
-    n_salts = F.least(
-        F.lit(cfg.band_salt_max), F.ceil(F.col("sz") / F.lit(cfg.band_key_cap))
-    )
-    keyed = (
-        keys.join(sizes, ["band_id", "band_hash"], "inner")
-        .filter(F.col("sz") <= cfg.band_key_drop)
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("sz") > cfg.band_key_cap,
-                F.pmod(F.xxhash64("conv_id"), n_salts),
-            ).otherwise(F.lit(0)),
-        )
-        .select("band_id", "band_hash", "salt", "conv_id")
-    )
+    n_salts = F.least(F.lit(cfg.band_salt_max), F.ceil(sz / F.lit(cfg.band_key_cap)))
 
-    # keyed is both sides of the self-join — persist so the band explode +
-    # size join pipeline runs once (the join's two shuffle-map stages run
-    # sequentially, so lazy persist is enough)
-    keyed = keyed.persist()
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    # no pre-distinct: the verify stage's groupBy(conv_a, conv_b) absorbs
-    # duplicate band collisions — one fewer shuffle here
-    pairs = (
-        a.join(b, ["band_id", "band_hash", "salt"], "inner")
-        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(
-            F.col("a.conv_id").alias("conv_a"),
-            F.col("b.conv_id").alias("conv_b"),
+    def salt(x):
+        return F.when(sz > cfg.band_key_cap, F.pmod(F.xxhash64(x), n_salts)).otherwise(
+            F.lit(0)
         )
-        .withColumn("src", F.lit("lsh"))
+
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.filter(
+                    # elements strictly after position i (slice is 1-based)
+                    F.slice(F.col("m"), i + F.lit(2), F.size("m")),
+                    lambda y: salt(x) == salt(y),
+                ),
+                lambda y: F.struct(
+                    F.least(x, y).alias("conv_a"), F.greatest(x, y).alias("conv_b")
+                ),
+            ),
+        )
     )
-    return pairs
+    return (
+        groups.filter((sz >= 2) & (sz <= cfg.band_key_drop))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.conv_a").alias("conv_a"),
+            F.col("p.conv_b").alias("conv_b"),
+            F.lit("lsh").alias("src"),
+        )
+    )

@@ -289,3 +289,37 @@ class StreamingDedup:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def windowed_turn_counts(
+    turns_stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over a turns STREAM — per-window
+    turn/conversation counts with bounded state.
+
+    The native Structured Streaming half of the streaming story (the
+    dedup itself runs via foreachBatch above): the watermark bounds how
+    late a turn may arrive and still be counted, so state for closed
+    windows is dropped instead of growing with the stream — the property
+    that keeps a 10^12-turn ingest's aggregation state O(open windows),
+    not O(history). Late rows beyond the watermark are discarded by the
+    engine (exactly the documented late-data contract)."""
+    return (
+        turns_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("role"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+            "n_convs_approx",
+        )
+    )
+
+
