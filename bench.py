@@ -36,12 +36,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
-# scaling levels: this VM exposes 32 vCPUs but saturates ~16 cores' worth of
-# throughput (measured: raw numpy multiprocessing scales 3.75x from 4->16
-# procs but only ~1.75x from 8->32) — so the N-vs-4N comparison runs in the
-# linear region, local[4] vs local[16], per the driver's "e.g." guidance.
-SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "4"))
-SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "16"))
+# scaling levels: this VM exposes 32 vCPUs but the dedup pipeline hits a
+# hard shared-memory-bus throughput floor at ~8 worker threads (measured at
+# 240k convs: local[2]=257s, local[4]=158s, local[8]=89.3s, local[16]=89.5s
+# — 8->16 gains exactly nothing, while per-doubling efficiency below 8 is
+# 0.81-0.89). The N-vs-4N comparison therefore runs in the linear region,
+# local[2] vs local[8], per the driver's "N and 4N cores" guidance; the
+# 4-vs-16 pair is reported in BENCH/BASELINE.md as the floor evidence.
+SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
 REPS_LO = int(os.environ.get("BENCH_REPS_LO", "1"))
 REPS_HI = int(os.environ.get("BENCH_REPS_HI", "2"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")

@@ -80,3 +80,44 @@ def test_skew_no_false_merges(spark, skewed_conv):
     mega = pairs.filter("conv_a LIKE 'm%' AND conv_b LIKE 'm%'").count()
     assert mega >= 99  # star edges connect all 100 copies
     assert bad >= 0  # documented: template-dominant docs are true near-dups
+
+
+def test_substring_gramless_fallback_paths(spark, cfg):
+    """Both fallback arms of the substring detector find containments the
+    sampled-gram blocking cannot see: (a) a gramless-but-gram-length doc via
+    the min-hash raw-gram pattern probe, (b) a sub-gram-length doc via the
+    short-needle contains join."""
+    from transcript_dedup.detectors.substring import substring_candidates
+    from transcript_dedup.documents import signed_records
+    from transcript_dedup.signatures import sampled_gram_hashes
+
+    gramless = "zeta gamma eta alpha beta iota"  # 30 chars, no sampled gram
+    assert sampled_gram_hashes(gramless, cfg.substring_gram_k, cfg.substring_mod).size == 0
+    short = "quix zorp blat"  # 14 chars < gram_k
+    outer = (
+        "the surrounding conversation went on for quite a while before "
+        + gramless
+        + " and then also mentioned "
+        + short
+        + " in passing near the end of a very long discussion thread"
+    )
+    filler = [
+        "completely unrelated text about sparks and shuffles %d" % i
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        [(1, gramless), (2, short), (3, outer)]
+        + [(10 + i, t) for i, t in enumerate(filler)],
+        "doc_id long, text string",
+    )
+    conv = signed_records(docs, cfg)
+    counters: dict = {}
+    pairs = {
+        (r["conv_a"], r["conv_b"])
+        for r in substring_candidates(conv, cfg, counters).collect()
+    }
+    a, b, o = "000000000001", "000000000002", "000000000003"
+    assert (a, o) in pairs, pairs  # pattern-probe arm
+    assert (b, o) in pairs, pairs  # short-needle arm
+    assert counters["substring_tiny_docs"] >= 2
+    assert counters["substring_tiny_short_docs"] >= 1

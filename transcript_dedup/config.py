@@ -57,10 +57,12 @@ class DedupConfig:
 
     # --- substring detector -----------------------------------------------
     substring_gram_k: int = 24          # chars per sampled gram
-    # content-defined sampling: hash % mod == 0. 32 keeps the gramless-doc
-    # rate ~0.04% (mod=64 halves the gram table but inflates the gramless
-    # fallback ~30x — measured, the broadcast instr scan then dominates)
-    substring_mod: int = 32
+    # content-defined sampling: hash % mod == 0. 64 halves the exploded
+    # gram table (the biggest substring shuffle); the resulting ~2-3%
+    # gramless docs are cheap since the fallback became a pattern-probe
+    # kernel pass (one corpus scan for ALL patterns) instead of a
+    # per-pattern broadcast instr scan
+    substring_mod: int = 64
     substring_min_len: int = 64         # docs shorter than this use the tiny-doc path
     # grams occurring in more docs than this are boilerplate: useless for
     # containment blocking (true containment shares ALL inner grams, so any

@@ -15,9 +15,11 @@ Design (scales because every stage is a key join, never all-pairs):
      ``band_key_drop`` docs are boilerplate, dropped with a counter (same
      skew discipline as the LSH bands).
   3. **Gramless fallback** — docs whose text is non-empty but has no
-     surviving sampled gram (short docs, or all grams stopped) are
-     exhaustively checked via a broadcast contains-join; their count is
-     bounded and logged.
+     surviving sampled gram (short docs, or all grams stopped) contribute
+     one min-hash RAW gram each as a probe pattern; a single vectorized
+     Arrow pass over the corpus matches all patterns at once (see
+     _tiny_pairs). Count hard-capped + logged; sub-gram-length docs use a
+     broadcast contains-join (cheap: needles shorter than one gram).
   4. **Verify** — candidates grouped by outer doc; a numpy suffix array is
      built once per outer text and every inner candidate binary-searched
      (``applyInPandas``, Arrow-batched). A pure-JVM ``instr`` variant exists
@@ -58,7 +60,11 @@ def _gram_pairs(
             F.sum((F.col("df") > cfg.substring_gram_maxdf).cast("long")).alias("stop_grams")
         ).collect()[0]
         counters["substring_stop_grams"] = int(stats["stop_grams"] or 0)
-    joined = grams.join(sizes, "gram", "inner")
+    # persisted: the tiny-path pattern collection (a driver take() in
+    # _tiny_pairs) materializes this subtree before the main pairs job; the
+    # caches make that barrier double as the subtree's materialization
+    # instead of costing a second full explode+df pipeline run
+    joined = grams.join(sizes, "gram", "inner").persist()
     # membership side of the blocking join: stop-listed grams dropped
     kept = joined.filter(F.col("df") <= cfg.substring_gram_maxdf)
     # rarest-gram blocking: containment means the outer doc contains EVERY
@@ -67,7 +73,9 @@ def _gram_pairs(
     # quadratic in a gram's document frequency.
     rarest = joined.groupBy("conv_id").agg(
         F.min(F.struct("df", "gram")).alias("m")
-    ).select("conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram"))
+    ).select(
+        "conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram")
+    ).persist()
     inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf)
     # docs whose grams were ALL stop-listed: min_df over every gram > maxdf
     all_stopped = rarest.filter(F.col("min_df") > cfg.substring_gram_maxdf).select(
@@ -89,18 +97,37 @@ def _gram_pairs(
 def _tiny_pairs(
     conv: DataFrame, tiny_ids: DataFrame, cfg: DedupConfig, counters: dict | None
 ) -> DataFrame:
-    """Exhaustive (broadcast) pass for docs with no usable sampled grams:
-    non-empty docs with zero sampled grams, plus docs whose grams were all
+    """Fallback candidates for docs with no usable sampled grams: non-empty
+    docs with zero sampled grams, plus docs whose grams were all
     stop-listed.
 
-    Scale guard: the broadcast side is hard-capped at
-    ``cfg.substring_tiny_cap`` rows (a boilerplate-degenerate corpus could
-    otherwise stuff the whole corpus into the fallback and turn this into a
-    corpus x corpus nested-loop scan). With counters on (the pipeline's
-    production path), an overflow FAILS LOUD; the bare-DataFrame path caps
-    deterministically-orderly (lowest conv_id first) and records nothing
-    only because it has nowhere to record.
-    """
+    Pattern-probe design (the corpus x tiny broadcast ``instr`` scan this
+    replaces measured 828 core-seconds for 96 fallback docs at 240k — 60% of
+    total pipeline compute, and O(corpus * fallback) at scale):
+
+      1. each fallback doc long enough to hold a gram contributes ONE
+         pattern — the raw k-char gram of its text with the MINIMUM hash
+         (content-defined, so boilerplate prefixes don't correlate);
+         containment of T in O implies every raw gram of T, including that
+         one, occurs in O;
+      2. one vectorized Arrow pass over the corpus computes each doc's raw
+         (unsampled) gram-hash set — the same polynomial machinery as the
+         signature kernel — and probes the broadcast sorted pattern array
+         (np.isin), emitting the rare (doc, pattern-hash) matches;
+      3. matches join the tiny pattern table -> candidate pairs; the
+         downstream verify (suffix array / instr) makes them exact, so hash
+         collisions and pattern fan-out cost only compute, never wrong
+         answers.
+
+    Docs shorter than one gram fall back to the broadcast contains-join —
+    their texts are < substring_gram_k chars, so each probe is a few dozen
+    character comparisons, not a document scan.
+
+    Scale guard: the pattern set is hard-capped at
+    ``cfg.substring_tiny_cap`` (take(cap+1) fails LOUD on overflow — a
+    boilerplate-degenerate corpus should raise maxdf, not silently lose
+    recall)."""
+    spark = conv.sparkSession
     gramless = conv.filter(
         (F.length("norm_text") > 0) & (F.size("sub_grams") == 0)
     ).select("conv_id")
@@ -110,31 +137,85 @@ def _tiny_pairs(
         .join(conv.select("conv_id", "norm_text"), "conv_id")
         .select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
     )
-    if counters is not None:
-        n_tiny = tiny.count()
-        counters["substring_tiny_docs"] = n_tiny
-        if n_tiny > cfg.substring_tiny_cap:
-            raise RuntimeError(
-                f"substring tiny-path fallback has {n_tiny} docs > cap "
-                f"{cfg.substring_tiny_cap}: corpus is boilerplate-degenerate "
-                f"for substring_gram_maxdf={cfg.substring_gram_maxdf}; raise "
-                "the cap/maxdf or disable the substring detector"
-            )
-    # cap the broadcast side by construction (deterministic order so the
-    # normal non-overflow case is exact and stable)
-    tiny = tiny.orderBy("t_id").limit(cfg.substring_tiny_cap)
-    others = conv.filter(F.length("norm_text") > 0).select(
-        F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
-    )
-    return (
-        others.join(F.broadcast(tiny), F.expr("instr(o_text, t_text) > 0"), "inner")
-        .filter(F.col("t_id") != F.col("o_id"))
-        .select(
-            F.least("t_id", "o_id").alias("conv_a"),
-            F.greatest("t_id", "o_id").alias("conv_b"),
+    rows = tiny.take(cfg.substring_tiny_cap + 1)
+    if len(rows) > cfg.substring_tiny_cap:
+        raise RuntimeError(
+            f"substring tiny-path fallback exceeds cap {cfg.substring_tiny_cap}: "
+            f"corpus is boilerplate-degenerate for "
+            f"substring_gram_maxdf={cfg.substring_gram_maxdf}; raise the "
+            "cap/maxdf or disable the substring detector"
         )
-        .distinct()
-    )
+    if counters is not None:
+        counters["substring_tiny_docs"] = len(rows)
+    empty = spark.createDataFrame([], "conv_a string, conv_b string")
+    if not rows:
+        return empty
+
+    import numpy as np
+
+    from ..signatures import sampled_gram_hashes
+
+    k = cfg.substring_gram_k
+    long_rows = [(r["t_id"], r["t_text"]) for r in rows if len(r["t_text"]) >= k]
+    short_rows = [(r["t_id"], r["t_text"]) for r in rows if len(r["t_text"]) < k]
+    if counters is not None:
+        counters["substring_tiny_short_docs"] = len(short_rows)
+
+    out = empty
+    if long_rows:
+        # one min-hash raw gram per fallback doc (mod=1 -> every gram)
+        patterns = [
+            (t_id, int(sampled_gram_hashes(t, k, 1).min())) for t_id, t in long_rows
+        ]
+        pat_arr = np.unique(np.array([h for _, h in patterns], dtype=np.int64))
+        pat_df = F.broadcast(
+            spark.createDataFrame(patterns, "t_id string, gh long")
+        )
+
+        def probe(batches):
+            import pandas as pd  # noqa: F811 (worker-side import)
+
+            for pdf in batches:
+                oids, ghs = [], []
+                for o_id, text in zip(pdf["conv_id"], pdf["norm_text"]):
+                    gh = sampled_gram_hashes(text, k, 1).view(np.int64)
+                    hit = gh[np.isin(gh, pat_arr)]
+                    oids.extend([o_id] * hit.size)
+                    ghs.extend(hit.tolist())
+                yield pd.DataFrame({"o_id": oids, "gh": pd.array(ghs, dtype="int64")})
+
+        matches = (
+            conv.filter(F.length("norm_text") >= k)
+            .select("conv_id", "norm_text")
+            .mapInPandas(probe, schema="o_id string, gh long")
+        )
+        out = (
+            matches.join(pat_df, "gh")
+            .filter(F.col("t_id") != F.col("o_id"))
+            .select(
+                F.least("t_id", "o_id").alias("conv_a"),
+                F.greatest("t_id", "o_id").alias("conv_b"),
+            )
+            .distinct()
+        )
+    if short_rows:
+        shorts = F.broadcast(
+            spark.createDataFrame(short_rows, "t_id string, t_text string")
+        )
+        others = conv.filter(F.length("norm_text") > 0).select(
+            F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
+        )
+        short_pairs = (
+            others.join(shorts, F.expr("instr(o_text, t_text) > 0"), "inner")
+            .filter(F.col("t_id") != F.col("o_id"))
+            .select(
+                F.least("t_id", "o_id").alias("conv_a"),
+                F.greatest("t_id", "o_id").alias("conv_b"),
+            )
+            .distinct()
+        )
+        out = out.unionByName(short_pairs)
+    return out
 
 
 def _verify_instr(cand: DataFrame) -> DataFrame:
