@@ -971,6 +971,18 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(vecs, queries, k=5, n_planes=6, n_tables=10)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + inverted-list
+    probe + exact cosine verify (rows-only: the iterative quantizer is not
+    SQL-expressible; tests assert full-probe == brute force exactly and a
+    partial-probe recall floor)."""
+    from transcript_dedup.embeddings import ann_ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter("vec_id < 5")
+    return ann_ivf_topk(vecs, queries, k=5, n_clusters=8, n_probe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_doc_dedup_components(spark, SF_DEFAULT)
@@ -983,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["transcript_decisions"] = _q_transcript_decisions
     out["emb_near_dup_pairs"] = _q_emb_near_dup_pairs
     out["ann_lsh_topk"] = _q_ann_lsh_topk
+    out["ann_ivf_topk"] = _q_ann_ivf_topk
     out["doc_metadata_fixer"] = _q_doc_metadata_fixer
     out["region_broadcast_rollup"] = _q_region_broadcast_rollup
     return out

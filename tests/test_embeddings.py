@@ -112,3 +112,38 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media("image", b"\x89PNG...", mode="real")
+
+
+def test_ann_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe == n_clusters scans every inverted list -> must
+    equal the exact brute-force top-k row for row."""
+    from transcript_dedup.embeddings import ann_ivf_topk, brute_force_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = vecs.filter("vec_id < 5")
+    got = {
+        (r["qid"], r["rank"]): (r["neighbor"], r["cosine"])
+        for r in ann_ivf_topk(vecs, qs, k=5, n_clusters=8, n_probe=8).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["neighbor"], r["cosine"])
+        for r in brute_force_topk(vecs, qs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_ann_ivf_partial_probe_recall(spark):
+    """Probing half the lists must still recover most true neighbors."""
+    from transcript_dedup.embeddings import ann_ivf_topk, brute_force_topk
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = vecs.filter("vec_id < 10")
+    got = {
+        (r["qid"], r["neighbor"])
+        for r in ann_ivf_topk(vecs, qs, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    want = {
+        (r["qid"], r["neighbor"])
+        for r in brute_force_topk(vecs, qs, k=5).collect()
+    }
+    assert len(got & want) / len(want) >= 0.5, (len(got & want), len(want))

@@ -159,6 +159,135 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    n_iters: int = 5,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Assignment is a vectorized Arrow kernel (batch matrix multiply against
+    the broadcast centroids); the update step is one groupBy over
+    (cluster, position) partial sums — both scale as single shuffles per
+    iteration. Deterministic: centroids are seeded from vector hashes, and
+    ties break by index."""
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(n_iters):
+        assigned = with_assignment(vectors, cents, vec_col)
+        # update: per-cluster mean via explode -> (cluster, pos) partial sums
+        sums = (
+            assigned.select("_cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("_cluster", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_clusters, dim))
+        cnt = np.zeros(n_clusters)
+        for r in sums:
+            acc[r["_cluster"], r["pos"]] = r["s"]
+            cnt[r["_cluster"]] = r["n"]
+        for c in range(n_clusters):
+            if cnt[c] > 0:
+                new[c] = acc[c] / cnt[c]
+        cents = new
+    return cents
+
+
+def with_assignment(
+    vectors: DataFrame, cents: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """+ _cluster column: argmax cosine against the (closure-broadcast)
+    centroid matrix, one Arrow kernel pass."""
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int32")
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cn.T
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return vectors.withColumn("_cluster", assign(F.col(vec_col)))
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    vectors into inverted lists; each query probes its n_probe nearest
+    centroids' lists and verifies with exact cosine. The scale shape is a
+    key-equality join on cluster id — candidates per query ~ n_probe/k of
+    the corpus instead of all of it."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # the quantizer makes n_iters passes over the vectors — cache them
+    if vectors.storageLevel == StorageLevel.NONE:
+        vectors = vectors.persist()
+    cents = kmeans_centroids(vectors, n_clusters, seed=seed, vec_col=vec_col)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    v = with_assignment(vectors, cents, vec_col).select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("_v"), "_cluster"
+    )
+
+    np_probe = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def probe_clusters(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in vs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :np_probe].astype("int32")
+        return pd.Series(list(top))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_q"),
+        F.explode(probe_clusters(F.col(vec_col))).alias("_cluster"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_cluster")
+        .filter(F.col("neighbor") != F.col("qid"))
+        .select(
+            "qid",
+            "neighbor",
+            (
+                _dot(F.col("_v"), F.col("_q"))
+                / (
+                    F.sqrt(_dot(F.col("_v"), F.col("_v")))
+                    * F.sqrt(_dot(F.col("_q"), F.col("_q")))
+                )
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["qid", "neighbor"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
