@@ -50,8 +50,18 @@ def verify_candidates(
     Output: conv_a, conv_b, is_match, confidence int, match_reasons
     array<string>, suggested_keep, est_jaccard, hamming.
     """
-    srcs = candidates.groupBy("conv_a", "conv_b").agg(
-        F.collect_set("src").alias("srcs")
+    # detector memberships as a bitmask folded with bit_or: a primitive
+    # codegen aggregate instead of collect_set's ObjectHashAggregate (the
+    # set-of-strings version measured 186 core-s over ~2M candidate rows)
+    mask = (
+        F.when(F.col("src") == "exact", F.lit(1))
+        .when(F.col("src") == "lsh", F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    srcs = (
+        candidates.withColumn("_m", mask)
+        .groupBy("conv_a", "conv_b")
+        .agg(F.bit_or("_m").alias("src_mask"))
     )
 
     feats = conv.select(
@@ -91,7 +101,7 @@ def verify_candidates(
     scored = hyd.select(
         "conv_a",
         "conv_b",
-        "srcs",
+        "src_mask",
         est_j,
         hamming,
         (
@@ -115,12 +125,12 @@ def verify_candidates(
         "m_content", F.col("m_content") & (F.col("est_jaccard") == F.lit(1.0))
     ).withColumn(
         "m_fuzzy",
-        F.array_contains("srcs", "lsh")
+        (F.col("src_mask").bitwiseAND(2) != 0)
         & (
             (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
             | (F.col("hamming") <= F.lit(cfg.hamming_radius))
         ),
-    ).withColumn("m_substring", F.array_contains("srcs", "substring"))
+    ).withColumn("m_substring", F.col("src_mask").bitwiseAND(4) != 0)
 
     w = cfg
     out = scored.select(
