@@ -59,6 +59,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow python workers alive between kernel stages (the
+        # tiny-path probe kernel runs minutes after the signature kernel;
+        # re-importing numpy/pandas per worker under CPU contention showed
+        # up as ~20 s/task "initialize" time in node metrics)
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: the driver JVM hosts every executor thread — size it
         # like a worker box (sandbox has 128 GiB)
