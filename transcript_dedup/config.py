@@ -63,7 +63,6 @@ class DedupConfig:
     # kernel pass (one corpus scan for ALL patterns) instead of a
     # per-pattern broadcast instr scan
     substring_mod: int = 64
-    substring_min_len: int = 64         # docs shorter than this use the tiny-doc path
     # grams occurring in more docs than this are boilerplate: useless for
     # containment blocking (true containment shares ALL inner grams, so any
     # one rare gram suffices) and quadratic in the pair join. Docs whose
