@@ -82,6 +82,70 @@ def test_skew_no_false_merges(spark, skewed_conv):
     assert bad >= 0  # documented: template-dominant docs are true near-dups
 
 
+def test_lsh_hot_key_prepass_predrops_100k_key(spark):
+    """VERDICT r2 #1: one degenerate band key with >=1e5 members must be
+    removed BEFORE the collect_list aggregation (bounded task memory), not
+    after. 100k synthetic signatures share band 0 exactly (one stop-band key
+    with 100,000 members) while every other band is unique per doc."""
+    from pyspark.sql import functions as F
+
+    cfg = DedupConfig().with_(band_key_cap=20, band_key_drop=200)
+    n_hot = 100_000
+    minhash = F.array(
+        # band 0 (rows 0..2) identical across the corpus -> one hot key
+        *[F.lit(7 * j + 1).cast("long") for j in range(cfg.lsh_rows)],
+        # remaining bands unique per doc -> singleton keys, no pairs
+        *[
+            F.xxhash64(F.col("id"), F.lit(j))
+            for j in range(cfg.lsh_rows, cfg.num_perm)
+        ],
+    )
+    conv = spark.range(n_hot).select(
+        F.format_string("h%07d", "id").alias("conv_id"),
+        minhash.alias("minhash"),
+        F.lit(5).alias("n_shingles"),
+    )
+    counters: dict = {}
+    pairs = lsh_candidates(conv, cfg, counters)
+    assert pairs.count() == 0  # non-hot bands are singletons
+    # the 100k-member key was flagged by the sampled pre-pass and its rows
+    # dropped before aggregation — the collect_list never buffered them
+    assert counters["lsh_stop_band_keys"] == 1, counters
+    assert counters["lsh_predropped_rows"] == n_hot, counters
+    assert counters["lsh_stop_band_rows"] == n_hot, counters
+
+
+def test_lsh_prepass_pair_set_identical(spark, skewed_conv):
+    """The hot-key pre-pass is a memory mechanism, not a semantics change:
+    the emitted pair set must be bit-identical with the pre-pass disabled
+    (post-aggregation filter/salt path only)."""
+    conv, cfg = skewed_conv
+    with_pre = {
+        (r["conv_a"], r["conv_b"])
+        for r in lsh_candidates(conv, cfg).distinct().collect()
+    }
+    without = {
+        (r["conv_a"], r["conv_b"])
+        for r in lsh_candidates(conv, cfg.with_(band_hot_sample_mod=0))
+        .distinct()
+        .collect()
+    }
+    assert with_pre == without
+    assert len(with_pre) > 0
+
+
+def test_lsh_prepass_counters_consistent(spark, skewed_conv):
+    """Stop/salt counters must describe the same keys whether a key was
+    handled pre- or post-aggregation."""
+    conv, cfg = skewed_conv
+    c_on: dict = {}
+    c_off: dict = {}
+    lsh_candidates(conv, cfg, c_on).count()
+    lsh_candidates(conv, cfg.with_(band_hot_sample_mod=0), c_off).count()
+    for k in ("lsh_stop_band_rows", "lsh_stop_band_keys", "lsh_salted_keys"):
+        assert c_on[k] == c_off[k], (k, c_on, c_off)
+
+
 def test_substring_gramless_fallback_paths(spark, cfg):
     """Both fallback arms of the substring detector find containments the
     sampled-gram blocking cannot see: (a) a gramless-but-gram-length doc via

@@ -84,12 +84,21 @@ def connected_components(
     e = edges.select("conv_a", "conv_b")
 
     if cfg.cc_driver_threshold > 0:
-        # one incremental job: take(threshold) stops scanning once the edge
-        # set is provably large; if it came back short, it IS the edge list
-        head = e.take(cfg.cc_driver_threshold)
-        if len(head) < cfg.cc_driver_threshold:
+        # decide driver-vs-distributed with bounded driver memory: the
+        # take() probe is capped (collecting 2M Rows just to pick a path
+        # would cost ~GBs of driver heap); above the cap a limit().count()
+        # probe ships only a count, and the full edge list is collected only
+        # when union-find will actually consume it
+        probe = min(cfg.cc_driver_threshold, 200_000)
+        head = e.take(probe)
+        if len(head) < probe:
             rows = [(r[0], r[1]) for r in head]
             return _union_find_driver(edges.sparkSession, rows, counters)
+        if cfg.cc_driver_threshold > probe:
+            n = e.limit(cfg.cc_driver_threshold).count()
+            if n < cfg.cc_driver_threshold:
+                rows = [(r[0], r[1]) for r in e.take(n)]
+                return _union_find_driver(edges.sparkSession, rows, counters)
     sym = e.unionByName(
         e.select(F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b"))
     )

@@ -84,6 +84,15 @@ class DedupConfig:
     band_key_cap: int = 100
     band_salt_max: int = 64
     band_key_drop: int = 2000
+    # hot-band-key pre-pass: a deterministic 1/mod hash-sample of band-key
+    # rows estimates which keys are hot; exact counts for those keys are
+    # broadcast back so stop-band rows are dropped and oversize keys salted
+    # BEFORE the collect_list aggregation ever buffers them (one degenerate
+    # boilerplate key must not materialize millions of ids in one task).
+    # The pair set is invariant to sampling accuracy — a missed hot key just
+    # falls back to the post-aggregation filter path. 0 disables the
+    # pre-pass (tests use it for pair-set identity checks).
+    band_hot_sample_mod: int = 20
 
     # --- clustering ----------------------------------------------------------
     cc_max_iters: int = 50

@@ -1,4 +1,4 @@
-"""MinHash/LSH banded candidate join with explicit two-pass skew mitigation.
+"""MinHash/LSH banded candidate join with explicit skew mitigation.
 
 Scale replacement for the reference's O(n^2) nested-loop comparator
 (/root/reference/src/duplicates.ts:19-39): each conversation's MinHash
@@ -11,19 +11,29 @@ kernel.
 Skew story (SURVEY.md section 4.2 — the custom half on top of AQE):
 boilerplate-dominated bands produce degenerate keys whose within-key pair
 count is quadratic; AQE can split partitions but cannot cut Cartesian
-semantics. Two-pass mitigation:
+semantics. Mitigation, by key size ``sz``:
 
-  pass 1: count band-key group sizes.
-  pass 2: keys with size > ``band_key_drop``  -> dropped entirely
-          (stop-bands, counted + reported);
-          keys with size > ``band_key_cap``   -> salted with
-          ``pmod(xxhash64(conv_id), band_salt)`` — within-key recall drops to
-          ~1/salt for that band, but a true near-dup pair collides on several
-          independent bands, so union recall survives (measured by the
-          oracle recall test);
-          ordinary keys join unsalted.
+  sz > band_key_drop  -> dropped entirely (stop-bands, counted + reported);
+  sz > band_key_cap   -> salted with ``pmod(xxhash64(conv_id), n_salts)``,
+                         ``n_salts = min(band_salt_max, ceil(sz/cap))`` —
+                         pairs only within a salt subgroup. Within-key recall
+                         drops to ~1/salt for that band, but a true near-dup
+                         pair collides on several independent bands, so union
+                         recall survives (measured by the oracle recall test);
+  otherwise           -> all within-key pairs.
 
-Pairs are deduped across bands with a ``distinct()`` (one shuffle).
+Execution shape: ONE row-level shuffle. Band keys are grouped once
+(collect_list of members per key) and candidate pairs are generated MAP-SIDE
+from each group's member list. A degenerate key must never buffer its whole
+member list in that aggregation, so a cheap pre-pass runs first: a
+deterministic 1/``band_hot_sample_mod`` hash-sample of the band-key rows
+estimates hot keys, their EXACT sizes are counted (count-only aggregation,
+bounded state) and broadcast back, and rows of keys with exact sz >
+band_key_drop are filtered out — while keys with cap < sz <= drop get their
+salt added to the grouping key — BEFORE the collect_list. Keys the sample
+misses (overwhelmingly < a few x cap) fall back to the identical
+post-aggregation filter/salt logic, so the emitted pair set is invariant to
+sampling accuracy; only the memory bound depends on it.
 """
 
 from __future__ import annotations
@@ -51,26 +61,59 @@ def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def _hot_band_sizes(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Small broadcastable map (band_id, band_hash, hot_sz) of band keys the
+    hash-sample estimates hot, with their EXACT sizes (> band_key_cap only).
+
+    The sample is keyed on xxhash64 of conv_id (deterministic, independent of
+    physical partitioning, decorrelated from the band salt which hashes the
+    bare conv_id). A key of size s appears ~s/mod times in the sample; the
+    candidate threshold max(2, cap/mod) flags every key at >= a few x cap
+    with overwhelming probability while keeping the candidate set ~|sample| /
+    threshold at worst. Candidate keys then get exact count-only aggregation
+    (O(1) state per key — no list) so downstream pre-drop/pre-salt decisions
+    use true sizes and the pair set stays exact.
+    """
+    mod = cfg.band_hot_sample_mod
+    thresh = max(2, cfg.band_key_cap // mod)
+    sampled = keys.filter(
+        F.pmod(F.xxhash64(F.lit("hot-key-probe"), "conv_id"), F.lit(mod)) == 0
+    )
+    cand = (
+        sampled.groupBy("band_id", "band_hash")
+        .count()
+        .filter(F.col("count") >= thresh)
+        .select("band_id", "band_hash")
+    )
+    return (
+        keys.join(F.broadcast(cand), ["band_id", "band_hash"], "left_semi")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("hot_sz"))
+        .filter(F.col("hot_sz") > cfg.band_key_cap)
+    )
+
+
 def lsh_candidates(
     conv: DataFrame, cfg: DedupConfig, counters: dict | None = None
 ) -> DataFrame:
     """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh').
 
-    ONE shuffle: band keys are grouped once (collect_list of members per
-    band key) and candidate pairs are generated MAP-SIDE from each group's
-    member list — the former sizes-groupBy + join-back + salted self-join
-    (two more 10M-row exchanges, the dominant bandwidth-bound waves in the
-    240k profile) collapse into per-group combination expressions. Group
-    fan-out stays bounded exactly as before:
+    ONE row-level shuffle: band keys are grouped once (collect_list of
+    members per key x salt subgroup) and candidate pairs are generated
+    MAP-SIDE from each group's member list — the former sizes-groupBy +
+    join-back + salted self-join (two more 10M-row exchanges, the dominant
+    bandwidth-bound waves in the 240k profile) collapse into per-group
+    combination expressions. Group fan-out is bounded twice over:
 
-      sz > band_key_drop             -> stop-band, no pairs (counted);
-      band_key_cap < sz <= drop      -> members salted with
-                                        pmod(xxhash64(conv_id), ceil(sz/cap))
-                                        (bounded by band_salt_max); pairs
-                                        only within a salt subgroup — the
-                                        identical pair set the salted
-                                        self-join produced;
-      sz <= cap                      -> all within-group pairs (<= cap^2/2).
+      hot keys (sampled pre-pass, exact sizes broadcast — _hot_band_sizes):
+        sz > band_key_drop        -> rows dropped BEFORE aggregation;
+        cap < sz <= drop          -> salt joins the grouping key, so each
+                                     buffered list is one ~cap-sized (never
+                                     > drop) salt subgroup;
+      keys the sample missed (whp < a few x cap members):
+        identical logic applied post-aggregation, exactly as if the pre-pass
+        never existed — same stop/drop thresholds, same salt function, so
+        the emitted pair set is bit-identical either way.
 
     Most band keys are singletons (~4.4M distinct keys for 5M rows at 120k),
     so the per-group lists stay tiny and the emitted pair count is unchanged.
@@ -78,29 +121,73 @@ def lsh_candidates(
     groupBy(conv_a, conv_b), as before.
     """
     keys = band_keys(conv, cfg)
-    groups = keys.groupBy("band_id", "band_hash").agg(
-        F.collect_list("conv_id").alias("m")
+    on = ["band_id", "band_hash"]
+
+    if cfg.band_hot_sample_mod > 0:
+        hot = _hot_band_sizes(keys, cfg)
+        keyed = keys.join(F.broadcast(hot), on, "left")
+    else:
+        hot = None
+        keyed = keys.withColumn("hot_sz", F.lit(None).cast("long"))
+
+    # pre-drop: stop-band rows never reach the aggregation buffer
+    live = keyed.filter(
+        F.col("hot_sz").isNull() | (F.col("hot_sz") <= cfg.band_key_drop)
+    )
+    # pre-salt: known-hot keys group by (key, salt subgroup)
+    n_salts_pre = F.least(
+        F.lit(cfg.band_salt_max), F.ceil(F.col("hot_sz") / F.lit(cfg.band_key_cap))
+    )
+    presalt = F.when(
+        F.col("hot_sz").isNotNull(), F.pmod(F.xxhash64("conv_id"), n_salts_pre)
+    ).otherwise(F.lit(0))
+
+    groups = live.groupBy("band_id", "band_hash", presalt.alias("psalt")).agg(
+        F.collect_list("conv_id").alias("m"),
+        F.first("hot_sz").alias("hot_sz"),
     )
     sz = F.size("m")
+    is_pre = F.col("hot_sz").isNotNull()
 
     if counters is not None:
-        stats = groups.agg(
+        hot_stats = (
+            hot.agg(
+                F.sum(F.when(F.col("hot_sz") > cfg.band_key_drop, F.col("hot_sz"))).alias("dr"),
+                F.sum((F.col("hot_sz") > cfg.band_key_drop).cast("long")).alias("dk"),
+                F.sum((F.col("hot_sz") <= cfg.band_key_drop).cast("long")).alias("sk"),
+                F.count("*").alias("hk"),
+            ).collect()[0]
+            if hot is not None
+            else {"dr": 0, "dk": 0, "sk": 0, "hk": 0}
+        )
+        # post-aggregation stats only describe keys the pre-pass missed
+        post = groups.filter(~is_pre).agg(
             F.sum(F.when(sz > cfg.band_key_drop, sz)).alias("dropped_rows"),
             F.sum((sz > cfg.band_key_drop).cast("long")).alias("dropped_keys"),
             F.sum(
                 ((sz > cfg.band_key_cap) & (sz <= cfg.band_key_drop)).cast("long")
             ).alias("salted_keys"),
         ).collect()[0]
-        counters["lsh_stop_band_rows"] = int(stats["dropped_rows"] or 0)
-        counters["lsh_stop_band_keys"] = int(stats["dropped_keys"] or 0)
-        counters["lsh_salted_keys"] = int(stats["salted_keys"] or 0)
+        counters["lsh_stop_band_rows"] = int(post["dropped_rows"] or 0) + int(
+            hot_stats["dr"] or 0
+        )
+        counters["lsh_stop_band_keys"] = int(post["dropped_keys"] or 0) + int(
+            hot_stats["dk"] or 0
+        )
+        counters["lsh_salted_keys"] = int(post["salted_keys"] or 0) + int(
+            hot_stats["sk"] or 0
+        )
+        counters["lsh_hot_keys_prepass"] = int(hot_stats["hk"] or 0)
+        counters["lsh_predropped_rows"] = int(hot_stats["dr"] or 0)
 
+    # post-aggregation salt for keys the sample missed; pre-salted groups are
+    # already one salt subgroup, so every within-group pair is valid there
     n_salts = F.least(F.lit(cfg.band_salt_max), F.ceil(sz / F.lit(cfg.band_key_cap)))
 
     def salt(x):
-        return F.when(sz > cfg.band_key_cap, F.pmod(F.xxhash64(x), n_salts)).otherwise(
-            F.lit(0)
-        )
+        return F.when(
+            ~is_pre & (sz > cfg.band_key_cap), F.pmod(F.xxhash64(x), n_salts)
+        ).otherwise(F.lit(0))
 
     pair_structs = F.flatten(
         F.transform(
@@ -118,7 +205,7 @@ def lsh_candidates(
         )
     )
     return (
-        groups.filter((sz >= 2) & (sz <= cfg.band_key_drop))
+        groups.filter((sz >= 2) & (is_pre | (sz <= cfg.band_key_drop)))
         .select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.conv_a").alias("conv_a"),

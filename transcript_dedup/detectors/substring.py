@@ -163,9 +163,14 @@ def _tiny_pairs(
 
     out = empty
     if long_rows:
-        # one min-hash raw gram per fallback doc (mod=1 -> every gram)
+        # one min raw gram per fallback doc (mod=1 -> every gram). Min is
+        # taken in two's-complement (int64 view) space — the SAME value space
+        # the probe kernel emits — because a uint64 min with the top bit set
+        # overflows the int64 createDataFrame/np.array path. Any raw gram of
+        # T is a valid pattern, so signed-order min is just as good.
         patterns = [
-            (t_id, int(sampled_gram_hashes(t, k, 1).min())) for t_id, t in long_rows
+            (t_id, int(sampled_gram_hashes(t, k, 1).view(np.int64).min()))
+            for t_id, t in long_rows
         ]
         pat_arr = np.unique(np.array([h for _, h in patterns], dtype=np.int64))
         pat_df = F.broadcast(

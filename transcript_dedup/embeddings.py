@@ -171,9 +171,11 @@ def kmeans_centroids(
     Assignment is a vectorized Arrow kernel (batch matrix multiply against
     the broadcast centroids); the update step is one groupBy over
     (cluster, position) partial sums — both scale as single shuffles per
-    iteration. Deterministic: centroids are seeded from vector hashes, and
-    ties break by index."""
+    iteration. Deterministic: initial centroids are seeded RNG draws
+    (``np.random.default_rng(seed)``), and argmax ties break by index."""
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_centroids: vectors DataFrame is empty")
     dim = int(dim_row["d"])
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_clusters, dim))
@@ -238,10 +240,18 @@ def ann_ivf_topk(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    # the quantizer makes n_iters passes over the vectors — cache them
-    if vectors.storageLevel == StorageLevel.NONE:
+    if vectors.isEmpty():
+        return vectors.sparkSession.createDataFrame(
+            [], "qid string, neighbor string, cosine double, rank int"
+        )
+    # the quantizer makes n_iters passes over the vectors — cache them for
+    # its duration only (the final probe join scans them exactly once)
+    we_cached = vectors.storageLevel == StorageLevel.NONE
+    if we_cached:
         vectors = vectors.persist()
     cents = kmeans_centroids(vectors, n_clusters, seed=seed, vec_col=vec_col)
+    if we_cached:
+        vectors.unpersist()
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     v = with_assignment(vectors, cents, vec_col).select(
         F.col(id_col).alias("neighbor"), F.col(vec_col).alias("_v"), "_cluster"

@@ -32,6 +32,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _snap_paths(snap: dict) -> list[str]:
+    """Data paths of a snapshot; tolerates pre-append-era manifests that
+    recorded a scalar ``path`` key (resume must work across the upgrade)."""
+    return snap.get("paths") or [snap["path"]]
+
+
 class TableIO:
     def __init__(self, base_dir: str):
         self.base_dir = base_dir
@@ -72,7 +78,7 @@ class TableIO:
         delta_rows = SparkSession.getActiveSession().read.parquet(path).count()
         if mode == "append" and t.get("current"):
             prev = next(s for s in t["snapshots"] if s["id"] == t["current"])
-            paths = prev["paths"] + [path]
+            paths = _snap_paths(prev) + [path]
             rows = prev["rows"] + delta_rows
         else:
             paths = [path]
@@ -97,14 +103,14 @@ class TableIO:
         t = man["tables"][table]
         snap_id = snapshot or t["current"]
         snap = next(s for s in t["snapshots"] if s["id"] == snap_id)
-        return spark.read.parquet(*snap["paths"])
+        return spark.read.parquet(*_snap_paths(snap))
 
     def compact(self, spark: SparkSession, table: str) -> int:
         """Rewrite the current snapshot's append chain into one data path."""
         snap = self.current_snapshot(table)
-        if snap is None or len(snap["paths"]) <= 1:
+        if snap is None or len(_snap_paths(snap)) <= 1:
             return snap["id"] if snap else 0
-        df = spark.read.parquet(*snap["paths"])
+        df = spark.read.parquet(*_snap_paths(snap))
         return self.write(df, table, fingerprint=snap.get("fingerprint"), mode="overwrite")
 
     def current_snapshot(self, table: str) -> dict | None:

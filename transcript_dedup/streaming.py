@@ -147,6 +147,7 @@ class StreamingDedup:
         seq = F.lit(int(batch_id)).cast("long")
         new = add_signatures(reconstruct_conversations(turns_batch), cfg).persist()
         if new.isEmpty():
+            new.unpersist()  # empty micro-batches must not leak cache blocks
             return
         stored = self.stored_conversations()
 
