@@ -983,6 +983,196 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(vecs, queries, k=5, n_clusters=8, n_probe=4)
 
 
+def _q_ann_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with n_probe == n_clusters: every inverted list is probed,
+    so the result provably equals brute-force cosine top-k
+    (tests/test_embeddings.py pins this row-for-row) — and brute force IS
+    DuckDB-expressible, giving the IVF machinery (quantizer, inverted-list
+    probe join, exact verify) a hash-matched oracle row. The partial-probe
+    variant above stays rows-only with a pytest recall floor."""
+    from transcript_dedup.embeddings import ann_ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = vecs.filter("vec_id < 5")
+    return ann_ivf_topk(vecs, queries, k=5, n_clusters=8, n_probe=8)
+
+
+_IVF_FULLPROBE_ORACLE = """
+    WITH qs AS (SELECT vec_id AS qid,
+                       list_transform(embedding, x -> cast(x AS double)) AS qv
+                FROM embeddings WHERE vec_id < 5),
+    n AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+          FROM embeddings),
+    s AS (SELECT qs.qid, n.vec_id,
+                 list_dot_product(n.v, qs.qv) /
+                 (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(qs.qv, qs.qv)))
+                   AS cosine
+          FROM n CROSS JOIN qs WHERE n.vec_id <> qs.qid),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM s)
+    SELECT qid, vec_id AS neighbor, round(cosine, 6) AS cosine, rn AS rank
+    FROM r WHERE rn <= 5
+"""
+
+
+_CORPUS_PARQUET = "/tmp/transcript_dedup_corpus_seed42_n200.parquet"
+
+
+def _ensure_corpus_export() -> str:
+    """Export the deterministic seed-42 transcript corpus once so the Spark
+    query and the DuckDB oracle read the IDENTICAL parquet bytes."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.generate import generate_corpus
+
+    if not os.path.exists(_CORPUS_PARQUET):
+        turns, _ = generate_corpus(200, seed=42)
+        turns = turns.copy()
+        turns["ts"] = turns["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+        fd, tmp = tempfile.mkstemp(suffix=".parquet", dir="/tmp")
+        os.close(fd)
+        pq.write_table(pa.Table.from_pandas(turns, preserve_index=False), tmp)
+        os.replace(tmp, _CORPUS_PARQUET)
+    return _CORPUS_PARQUET
+
+
+def _q_transcript_decisions_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript decisions with the exact + substring detector
+    arms (the fuzzy MinHash arm's est-Jaccard gate is an engine artifact
+    DuckDB cannot recompute, so the full three-detector `transcript_decisions`
+    stays rows-only with its pytest value-hash gate vs the pure-Python
+    oracle). Everything here — reconstruction, normalization, star edges,
+    containment, connected components, the rule cascade, confidence — is
+    reproduced by the DuckDB oracle over the same exported corpus parquet."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.cluster import connected_components
+    from transcript_dedup.decide import make_decisions
+    from transcript_dedup.detectors import (
+        exact_candidates,
+        substring_candidates,
+        verify_candidates,
+    )
+    from transcript_dedup.reconstruct import reconstruct_conversations
+    from transcript_dedup.signatures import add_signatures
+
+    cfg = DedupConfig()
+    turns = spark.read.parquet(_ensure_corpus_export())
+    conv = add_signatures(reconstruct_conversations(turns), cfg).persist()
+    conv.count()
+    cand = exact_candidates(conv).unionByName(substring_candidates(conv, cfg))
+    pairs = verify_candidates(cand, conv, cfg)
+    comps = connected_components(pairs.filter("is_match"), cfg)
+    dec = make_decisions(comps, conv, pairs, cfg)
+    return (
+        dec.select(
+            "group_id",
+            F.concat_ws(",", "keep").alias("keep"),
+            F.concat_ws(",", "delete").alias("delete"),
+            "rule_applied",
+            "decision_type",
+            F.col("min_confidence").cast("long").alias("min_confidence"),
+            F.col("size").cast("long").alias("size"),
+        )
+        .orderBy("group_id")
+    )
+
+
+_TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
+    WITH t AS (SELECT * FROM read_parquet('{_CORPUS_PARQUET}')),
+    conv AS (
+      SELECT conv_id,
+             sum(length(text)) AS total_chars,
+             min(ts) AS first_ts,
+             avg(CASE WHEN length(trim(text)) > 0 THEN CAST(1 AS double)
+                      ELSE CAST(0 AS double) END) AS completeness,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
+             string_agg(role, '|' ORDER BY turn_idx) AS role_seq
+      FROM t GROUP BY conv_id),
+    n AS (SELECT conv_id, total_chars, first_ts, completeness, role_seq,
+                 {_NORM_DUCK.format(c='doc_text')} AS norm
+          FROM conv),
+    exg AS (SELECT conv_id, min(conv_id) OVER (PARTITION BY norm) AS rep
+            FROM n WHERE length(norm) > 0),
+    pairs AS (
+      SELECT rep AS conv_a, conv_id AS conv_b,
+             TRUE AS m_content, FALSE AS m_substring
+      FROM exg WHERE conv_id <> rep
+      UNION ALL
+      SELECT least(a.conv_id, b.conv_id), greatest(a.conv_id, b.conv_id),
+             FALSE, TRUE
+      FROM n a JOIN n b
+        ON length(a.norm) > 0 AND length(a.norm) < length(b.norm)
+       AND position(a.norm IN b.norm) > 0),
+    pconf AS (
+      SELECT p.conv_a, p.conv_b,
+             (CASE WHEN p.m_content THEN 50 ELSE 0 END)
+           + (CASE WHEN p.m_substring THEN 30 ELSE 0 END)
+           + (CASE WHEN abs(na.total_chars - nb.total_chars)
+                        <= greatest(na.total_chars, nb.total_chars) * 0.2
+                   THEN 15 ELSE 0 END)
+           + (CASE WHEN na.role_seq = nb.role_seq THEN 5 ELSE 0 END) AS conf
+      FROM pairs p
+      JOIN n na ON p.conv_a = na.conv_id
+      JOIN n nb ON p.conv_b = nb.conv_id),
+    edges AS (SELECT conv_a AS s, conv_b AS d FROM pairs
+              UNION SELECT conv_b, conv_a FROM pairs),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
+      SELECT a AS conv_id, min(b) AS component_id FROM reach GROUP BY a),
+    m AS (SELECT rec.conv_id, rec.component_id,
+                 n.completeness, n.total_chars, n.first_ts
+          FROM rec JOIN n ON rec.conv_id = n.conv_id),
+    w1 AS (SELECT m.*,
+             max(completeness) OVER cw AS maxc,
+             max(total_chars) OVER cw AS maxtc,
+             min(first_ts) OVER cw AS mints,
+             min(conv_id) OVER cw AS minid
+           FROM m WINDOW cw AS (PARTITION BY component_id)),
+    w3 AS (SELECT *,
+             sum(CASE WHEN completeness = maxc THEN 1 ELSE 0 END) OVER cw AS nbc,
+             sum(CASE WHEN total_chars = maxtc THEN 1 ELSE 0 END) OVER cw AS nbl,
+             sum(CASE WHEN first_ts = mints THEN 1 ELSE 0 END) OVER cw AS nbe
+           FROM w1 WINDOW cw AS (PARTITION BY component_id)),
+    w4 AS (SELECT *,
+             CASE WHEN nbc = 1 THEN 'keep-most-complete'
+                  WHEN nbl = 1 THEN 'keep-longest'
+                  WHEN nbe = 1 THEN 'keep-earliest'
+                  ELSE 'keep-first-id' END AS rule_applied,
+             CASE WHEN nbc = 1 THEN completeness = maxc
+                  WHEN nbl = 1 THEN total_chars = maxtc
+                  WHEN nbe = 1 THEN first_ts = mints
+                  ELSE conv_id = minid END AS is_keep
+           FROM w3),
+    pc AS (SELECT r.component_id, min(pconf.conf) AS min_confidence
+           FROM pconf JOIN rec r ON pconf.conv_a = r.conv_id
+           GROUP BY r.component_id),
+    dec AS (SELECT component_id AS group_id,
+                   coalesce(string_agg(CASE WHEN is_keep THEN conv_id END,
+                                       ',' ORDER BY conv_id), '') AS keep,
+                   coalesce(string_agg(CASE WHEN NOT is_keep THEN conv_id END,
+                                       ',' ORDER BY conv_id), '') AS del_,
+                   min(rule_applied) AS rule_applied,
+                   count(*) AS size
+            FROM w4 GROUP BY component_id)
+    SELECT d.group_id, d.keep, d.del_ AS "delete", d.rule_applied,
+           CASE WHEN coalesce(pc.min_confidence, 0) >= 40 THEN 'auto'
+                ELSE 'needs_review' END AS decision_type,
+           CAST(coalesce(pc.min_confidence, 0) AS bigint) AS min_confidence,
+           CAST(d.size AS bigint) AS size
+    FROM dec d LEFT JOIN pc ON d.group_id = pc.component_id
+    ORDER BY d.group_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_doc_dedup_components(spark, SF_DEFAULT)
@@ -996,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["emb_near_dup_pairs"] = _q_emb_near_dup_pairs
     out["ann_lsh_topk"] = _q_ann_lsh_topk
     out["ann_ivf_topk"] = _q_ann_ivf_topk
+    out["ann_ivf_fullprobe_topk"] = _q_ann_ivf_fullprobe_topk
+    out["transcript_decisions_es"] = _q_transcript_decisions_es
     out["doc_metadata_fixer"] = _q_doc_metadata_fixer
     out["region_broadcast_rollup"] = _q_region_broadcast_rollup
     return out
@@ -1008,9 +1200,14 @@ def oracle_sql() -> dict[str, str]:
     out["doc_dedup_components"] = _COMPONENTS_ORACLE
     out["doc_metadata_fixer"] = _METADATA_FIXER_ORACLE
     out["region_broadcast_rollup"] = _REGION_ROLLUP_ORACLE
-    # transcript_decisions / ann_lsh_topk: MinHash/SimHash kernels, LSH band
-    # hashing and the rule cascade over them are not SQL-expressible in
-    # DuckDB -> rows-only here; transcript_decisions is value-hash-gated
-    # against the pure-Python reference oracle (oracle.oracle_decisions) in
-    # tests/test_oracle_parity.py instead.
+    out["ann_ivf_fullprobe_topk"] = _IVF_FULLPROBE_ORACLE
+    out["transcript_decisions_es"] = _TRANSCRIPT_DECISIONS_ES_ORACLE
+    # transcript_decisions / ann_lsh_topk / ann_ivf_topk (partial probe):
+    # MinHash/SimHash kernels, LSH band hashing and est-Jaccard gates over
+    # them are not SQL-expressible in DuckDB -> rows-only here.
+    # transcript_decisions is value-hash-gated against the pure-Python
+    # reference oracle (oracle.oracle_decisions) in tests/test_oracle_parity;
+    # its exact+substring arm gets the full DuckDB oracle via
+    # transcript_decisions_es, and the IVF machinery gets one via
+    # ann_ivf_fullprobe_topk (full probe == brute force, test-pinned).
     return out
