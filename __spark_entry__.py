@@ -1173,6 +1173,81 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
 """
 
 
+def _q_doc_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9 analogue (reference src/resolve-conflicts.ts:47-94 weighted
+    path-prefix scorer + src/metadata.ts extractArtist denylist): a
+    configurable additive-weight scoring expression selects each duplicate
+    group's representative as an alternative to the rule cascade. Mirror
+    copies of every 40th doc are planted with a 'mirror/…' source (oracle in
+    lockstep) so the prefix weights actually differentiate members."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.normalize import normalize_text
+    from transcript_dedup.score import additive_score, weighted_representatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    planted = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror/archive").alias("source"),
+        "n_chars",
+    )
+    all_ = (
+        docs.unionByName(planted)
+        .withColumn("norm", normalize_text("text"))
+        .filter(F.length("norm") > 0)
+    )
+    w = Window.partitionBy("norm")
+    members = (
+        all_.withColumn("group_id", F.min("doc_id").over(w))
+        .withColumn("gsz", F.count("*").over(w))
+        .filter(F.col("gsz") > 1)
+    )
+    score = additive_score(
+        prefix_rules=[("source", "src0", 40.0), ("source", "mirror/", -10.0)],
+        value_rules=[("lang", "de", 5.0)],
+        numeric_weights=[("n_chars", 0.01)],
+    )
+    out = weighted_representatives(members, score, group_col="group_id", id_col="doc_id")
+    return out.select(
+        "group_id", "doc_id", "source", F.round("score", 6).alias("score"), "is_keep"
+    )
+
+
+_WEIGHTED_KEEP_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang,
+             'mirror/archive' AS source, n_chars
+      FROM documents WHERE doc_id % 40 = 0),
+    n AS (SELECT *, {_NORM_DUCK.format(c='text')} AS norm FROM d),
+    g AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS group_id,
+                 count(*) OVER (PARTITION BY norm) AS gsz
+          FROM n WHERE length(norm) > 0),
+    s AS (SELECT group_id, doc_id, source,
+                 CAST(0.0 AS double)
+               + (CASE WHEN starts_with(source, 'src0') THEN CAST(40.0 AS double)
+                       ELSE CAST(0.0 AS double) END)
+               + (CASE WHEN starts_with(source, 'mirror/') THEN CAST(-10.0 AS double)
+                       ELSE CAST(0.0 AS double) END)
+               + (CASE WHEN lang = 'de' THEN CAST(5.0 AS double)
+                       ELSE CAST(0.0 AS double) END)
+               + coalesce(CAST(n_chars AS double), CAST(0.0 AS double))
+                   * CAST(0.01 AS double) AS score
+          FROM g WHERE gsz > 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+                                       ORDER BY score DESC, doc_id ASC) AS rn
+          FROM s)
+    SELECT group_id, doc_id, source, round(score, 6) AS score, rn = 1 AS is_keep
+    FROM r
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_doc_dedup_components(spark, SF_DEFAULT)
@@ -1188,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf_topk"] = _q_ann_ivf_topk
     out["ann_ivf_fullprobe_topk"] = _q_ann_ivf_fullprobe_topk
     out["transcript_decisions_es"] = _q_transcript_decisions_es
+    out["doc_weighted_keep"] = _q_doc_weighted_keep
     out["doc_metadata_fixer"] = _q_doc_metadata_fixer
     out["region_broadcast_rollup"] = _q_region_broadcast_rollup
     return out
@@ -1202,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
     out["region_broadcast_rollup"] = _REGION_ROLLUP_ORACLE
     out["ann_ivf_fullprobe_topk"] = _IVF_FULLPROBE_ORACLE
     out["transcript_decisions_es"] = _TRANSCRIPT_DECISIONS_ES_ORACLE
+    out["doc_weighted_keep"] = _WEIGHTED_KEEP_ORACLE
     # transcript_decisions / ann_lsh_topk / ann_ivf_topk (partial probe):
     # MinHash/SimHash kernels, LSH band hashing and est-Jaccard gates over
     # them are not SQL-expressible in DuckDB -> rows-only here.

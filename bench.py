@@ -40,13 +40,15 @@ BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
 # hard shared-memory-bus throughput floor at ~8 worker threads (measured at
 # 240k convs: local[2]=257s, local[4]=158s, local[8]=89.3s, local[16]=89.5s
 # — 8->16 gains exactly nothing, while per-doubling efficiency below 8 is
-# 0.81-0.89). The N-vs-4N comparison therefore runs in the linear region,
-# local[2] vs local[8], per the driver's "N and 4N cores" guidance; the
-# 4-vs-16 pair is reported in BENCH/BASELINE.md as the floor evidence.
-SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
-SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
-REPS_LO = int(os.environ.get("BENCH_REPS_LO", "1"))
-REPS_HI = int(os.environ.get("BENCH_REPS_HI", "2"))
+# 0.81-0.89). The N-vs-4N comparison therefore runs fully inside the linear
+# region, local[1] vs local[4] ("N and 4N cores" with N=1, per the driver's
+# guidance); the full 1/2/4/8/16 sweep incl. the bandwidth floor is
+# documented in BENCH/BASELINE.md.
+SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "1"))
+SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
+# symmetric reps: min-of-reps must treat both levels identically or the
+# reported ratio is biased by the extra draws on a +/-20-40%-noise VM
+REPS = int(os.environ.get("BENCH_REPS", "2"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
 
 HEADLINE = [
@@ -180,28 +182,33 @@ def main() -> None:
 
     stop_spark(spark)
 
-    # Phase B: scaling — identical job, two parallelism levels, each rep in a
-    # fresh subprocess with identical warmup and a page-cache pre-read. Min
-    # wall per level (the least-noise estimator on this ±20-40% noisy VM);
-    # every rep's wall is reported raw alongside.
+    # Phase B: scaling — identical job, two parallelism levels, SYMMETRIC
+    # interleaved reps (lo, hi, lo, hi, ...), each rep in a fresh subprocess
+    # with identical warmup and a page-cache pre-read. Min wall per level
+    # (the least-noise estimator on this ±20-40% noisy VM); every rep's wall
+    # is reported raw alongside. The hardware-ceiling probe (Phase C) runs
+    # BEFORE and AFTER the measured levels so raw and vs-ceiling efficiency
+    # come from the same VM draw.
+    ceilings = [_hardware_ceiling(SCALE_LO, SCALE_HI)]
     runs_lo, runs_hi = [], []
     decisions = set()
-    for _ in range(max(REPS_LO, 1)):
+    for _ in range(max(REPS, 1)):
         _warm(corpus)
         r = _run_pipeline_subprocess(SCALE_LO, corpus)
         runs_lo.append(r)
         decisions.add(r["decisions"])
-    for _ in range(max(REPS_HI, 1)):
         _warm(corpus)
         r = _run_pipeline_subprocess(SCALE_HI, corpus)
         runs_hi.append(r)
         decisions.add(r["decisions"])
+    ceilings.append(_hardware_ceiling(SCALE_LO, SCALE_HI))
     lo = min(runs_lo, key=lambda r: r["wall_sec"])
     hi = min(runs_hi, key=lambda r: r["wall_sec"])
     eff = (hi["conv_per_sec"] / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
 
-    # Phase C: what 4->16 speedup can this VM deliver AT BEST?
-    ceiling = _hardware_ceiling(SCALE_LO, SCALE_HI)
+    # Phase C: what lo->hi speedup can this VM deliver AT BEST? (max of the
+    # bracketing probes = the least-pessimistic reading of the same draw)
+    ceiling = max(ceilings)
 
     out = {
         "metric": "headline_suite_plus_dedup_scaling",
@@ -223,6 +230,7 @@ def main() -> None:
             "conv_per_sec_lo": lo["conv_per_sec"],
             "scaling_efficiency": round(eff, 3),
             "hardware_ceiling_efficiency": ceiling,
+            "hardware_ceiling_probes": ceilings,
             "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
         },
     }

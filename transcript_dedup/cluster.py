@@ -90,14 +90,18 @@ def connected_components(
         # probe ships only a count, and the full edge list is collected only
         # when union-find will actually consume it
         probe = min(cfg.cc_driver_threshold, 200_000)
-        head = e.take(probe)
+        # Arrow-backed collect: deserializing 10^5 edge Rows through Py4J is
+        # seconds of single-threaded driver time (flat at every parallelism
+        # level); toPandas ships the same rows as Arrow batches
+        head = e.limit(probe).toPandas()
         if len(head) < probe:
-            rows = [(r[0], r[1]) for r in head]
+            rows = list(zip(head["conv_a"], head["conv_b"]))
             return _union_find_driver(edges.sparkSession, rows, counters)
         if cfg.cc_driver_threshold > probe:
             n = e.limit(cfg.cc_driver_threshold).count()
             if n < cfg.cc_driver_threshold:
-                rows = [(r[0], r[1]) for r in e.take(n)]
+                pdf = e.limit(n).toPandas()
+                rows = list(zip(pdf["conv_a"], pdf["conv_b"]))
                 return _union_find_driver(edges.sparkSession, rows, counters)
     sym = e.unionByName(
         e.select(F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b"))
