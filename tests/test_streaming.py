@@ -46,16 +46,24 @@ def test_incremental_equals_batch(spark, cfg, split_corpus, tmp_path):
         for r in sd.io.read(spark, "components").collect()
     }
 
-    # batch reference: same corpus, exact+lsh detectors only (streaming mode
-    # defers the corpus-global substring index — documented)
+    # batch reference: same corpus, ALL THREE detector arms (the substring
+    # arm runs incrementally since round 3)
     conv = add_signatures(
         reconstruct_conversations(corpus_to_spark(spark, turns_pdf)), cfg
     )
     from transcript_dedup.cluster import connected_components
-    from transcript_dedup.detectors import exact_candidates, lsh_candidates
+    from transcript_dedup.detectors import (
+        exact_candidates,
+        lsh_candidates,
+        substring_candidates,
+    )
     from transcript_dedup.detectors.verify import verify_candidates
 
-    cand = exact_candidates(conv).unionByName(lsh_candidates(conv, cfg))
+    cand = (
+        exact_candidates(conv)
+        .unionByName(lsh_candidates(conv, cfg))
+        .unionByName(substring_candidates(conv, cfg, verify_mode="instr"))
+    )
     pairs = verify_candidates(cand, conv, cfg)
     want = {
         r["conv_id"]: r["component_id"]
@@ -96,7 +104,11 @@ def test_redelivery_and_compaction(spark, cfg, split_corpus, tmp_path):
     import pandas as pd
 
     from transcript_dedup.cluster import connected_components
-    from transcript_dedup.detectors import exact_candidates, lsh_candidates
+    from transcript_dedup.detectors import (
+        exact_candidates,
+        lsh_candidates,
+        substring_candidates,
+    )
     from transcript_dedup.detectors.verify import verify_candidates
 
     _, turns_pdf, _ = split_corpus
@@ -125,7 +137,11 @@ def test_redelivery_and_compaction(spark, cfg, split_corpus, tmp_path):
     conv = add_signatures(
         reconstruct_conversations(corpus_to_spark(spark, final_pdf)), cfg
     )
-    cand = exact_candidates(conv).unionByName(lsh_candidates(conv, cfg))
+    cand = (
+        exact_candidates(conv)
+        .unionByName(lsh_candidates(conv, cfg))
+        .unionByName(substring_candidates(conv, cfg, verify_mode="instr"))
+    )
     pairs = verify_candidates(cand, conv, cfg)
     want = {
         r["conv_id"]: r["component_id"]
@@ -147,6 +163,50 @@ def test_redelivery_and_compaction(spark, cfg, split_corpus, tmp_path):
     }
     assert got_dec == want_dec
     assert find_conflicts(sd.stored_decisions()).count() == 0
+
+
+def test_containment_pair_split_across_batches(spark, cfg, tmp_path):
+    """VERDICT r2 #4: the substring arm is incremental — a containment pair
+    whose inner and outer docs arrive in DIFFERENT micro-batches is found,
+    in both directions (inner-first and outer-first)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    ts = dt.datetime(2026, 1, 1)
+    inner1 = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    outer1 = "padding before the interesting part " + inner1 + " and plenty of trailing context afterwards"
+    inner2 = "completely different marker sentence about spark shuffles and arrow batches"
+    outer2 = "intro text " + inner2 + " closing remarks that make this conversation longer"
+
+    def turns(conv_id, text):
+        return (conv_id, 0, "user", text, "", ts)
+
+    # batch 0: inner1 + outer2 (+ filler); batch 1: outer1 + inner2
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    b0 = pd.DataFrame(
+        [turns("in1", inner1), turns("out2", outer2)]
+        + [turns(f"f{i}", f"unrelated filler text number {i} with words") for i in range(4)],
+        columns=cols,
+    ).astype({"turn_idx": "int32"})
+    b1 = pd.DataFrame(
+        [turns("out1", outer1), turns("in2", inner2)],
+        columns=cols,
+    ).astype({"turn_idx": "int32"})
+
+    sd = StreamingDedup(spark, str(tmp_path / "state"), cfg)
+    sd.process_batch(corpus_to_spark(spark, b0), 0)
+    sd.process_batch(corpus_to_spark(spark, b1), 1)
+
+    pairs = {
+        (r["conv_a"], r["conv_b"])
+        for r in sd.stored_pairs().filter("is_match").collect()
+    }
+    assert ("in1", "out1") in pairs, pairs  # outer arrived after inner
+    assert ("in2", "out2") in pairs, pairs  # inner arrived after outer
+    comps = {r["conv_id"]: r["component_id"] for r in sd.stored_components().collect()}
+    assert comps["in1"] == comps["out1"]
+    assert comps["in2"] == comps["out2"]
 
 
 def test_windowed_turn_counts_watermark(spark, tmp_path):

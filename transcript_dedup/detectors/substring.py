@@ -263,7 +263,22 @@ def substring_candidates(
     """conversations -> (conv_a, conv_b, src='substring') containment edges."""
     gram_pairs, all_stopped = _gram_pairs(conv, cfg, counters)
     raw = gram_pairs.unionByName(_tiny_pairs(conv, all_stopped, cfg, counters)).distinct()
+    verified = hydrate_and_verify(raw, conv, verify_mode)
+    # no materialization barrier anywhere in this detector: the single
+    # downstream consumer (verify stage) triggers the whole dataflow in one
+    # job; the gram explode/df exchanges are shared via ReusedExchange
+    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))
 
+
+def hydrate_and_verify(
+    raw: DataFrame, conv: DataFrame, verify_mode: str = "suffix_array"
+) -> DataFrame:
+    """Candidate (conv_a, conv_b) pairs -> containment-verified pairs.
+
+    Hydrates both texts, orients inner = shorter / outer = longer (equal
+    lengths are the exact detector's job), and verifies with the suffix-array
+    kernel or the pure-JVM ``instr`` twin. Shared by the batch detector above
+    and the streaming incremental arm (streaming._incremental_substring)."""
     texts = conv.select("conv_id", "norm_text", F.length("norm_text").alias("len"))
     hyd = (
         raw.join(
@@ -304,8 +319,4 @@ def substring_candidates(
         )
     )
 
-    verified = _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)
-    # no materialization barrier anywhere in this detector: the single
-    # downstream consumer (verify stage) triggers the whole dataflow in one
-    # job; the gram explode/df exchanges are shared via ReusedExchange
-    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))
+    return _verify_suffix_array(hyd) if verify_mode == "suffix_array" else _verify_instr(hyd)

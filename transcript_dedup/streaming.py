@@ -17,8 +17,11 @@ streaming growth path with **O(batch) state maintenance per micro-batch**:
     edges or re-delivered conversations are re-solved (merge AND split are
     handled, because the affected subgraph is re-clustered from its valid
     pairs), and only their membership/decision rows are rewritten;
-  - (substring runs in the batch pipeline; its gram index is corpus-global
-    and is intentionally not maintained incrementally in v1 — documented.)
+  - the substring arm runs incrementally too (_incremental_substring):
+    rarest-gram blocking over the stored corpus's gram index in BOTH
+    containment directions, restricted to new-touching pairs, with the
+    batch detector's pattern-probe fallback and the same containment
+    verification before pairs are emitted.
 
 Structured Streaming's checkpointLocation provides exactly-once micro-batch
 tracking on top; a stream can take over from a batch bootstrap because the
@@ -74,7 +77,87 @@ def _incremental_candidates(new: DataFrame, all_: DataFrame, cfg: DedupConfig) -
             F.lit("lsh").alias("src"),
         )
     )
-    return exact.unionByName(lsh)
+    return exact.unionByName(lsh).unionByName(_incremental_substring(new, all_, cfg))
+
+
+def _incremental_substring(new: DataFrame, all_: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Substring containment edges touching >=1 NEW conversation — the same
+    new-vs-all shape as the exact/LSH arms.
+
+    The stored side's sampled-gram index is derived from the resolved
+    conversations state (``all_`` IS the maintained append-delta table, so
+    exploding its ``sub_grams`` per batch is the gram-table scan a separate
+    index table would also pay); document frequencies are one count
+    aggregation over that index. Both containment directions are blocked
+    with the batch detector's rarest-gram scheme, restricted to pairs with a
+    new endpoint:
+
+      new-inner:    rarest kept gram of each NEW doc probes ALL kept grams;
+      new-outer:    rarest kept gram of EVERY doc probes the NEW docs' kept
+                    grams (the stored->new containment direction);
+      fallback:     gramless / all-stopped docs run the pattern probe
+                    (substring._tiny_pairs) over the full corpus, output
+                    filtered to new-touching pairs (cap + counters as in
+                    batch).
+
+    Candidates are then containment-verified (hydrate + instr) before being
+    emitted as src='substring', exactly like the batch arm — verify's
+    m_substring gate trusts its input pairs."""
+    from .detectors.substring import _tiny_pairs, hydrate_and_verify
+
+    nonempty = all_.filter(F.length("norm_text") > 0)
+    grams = nonempty.select("conv_id", F.explode("sub_grams").alias("gram"))
+    sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    joined = grams.join(sizes, "gram")
+    kept = joined.filter(F.col("df") <= cfg.substring_gram_maxdf).select(
+        "conv_id", "gram"
+    )
+    rarest = (
+        joined.groupBy("conv_id")
+        .agg(F.min(F.struct("df", "gram")).alias("m"))
+        .select("conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram"))
+    )
+    inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf).select(
+        "conv_id", "gram"
+    )
+    new_ids = new.select("conv_id").distinct()
+
+    def only_new(df: DataFrame, key: str = "conv_id") -> DataFrame:
+        return df.join(
+            F.broadcast(new_ids.withColumnRenamed("conv_id", key)), key, "left_semi"
+        )
+
+    def pairs_of(inner: DataFrame, outer: DataFrame) -> DataFrame:
+        return (
+            inner.alias("a")
+            .join(outer.alias("b"), "gram")
+            .filter(F.col("a.conv_id") != F.col("b.conv_id"))
+            .select(
+                F.least("a.conv_id", "b.conv_id").alias("conv_a"),
+                F.greatest("a.conv_id", "b.conv_id").alias("conv_b"),
+            )
+        )
+
+    p_new_inner = pairs_of(only_new(inner_keys), kept)
+    p_new_outer = pairs_of(inner_keys, only_new(kept))
+    all_stopped = rarest.filter(F.col("min_df") > cfg.substring_gram_maxdf).select(
+        "conv_id"
+    )
+    tiny = _tiny_pairs(all_, all_stopped, cfg, None)
+    tiny_new = (
+        tiny.join(F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_a")), "conv_a", "left_semi")
+        .unionByName(
+            tiny.join(
+                F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_b")), "conv_b", "left_semi"
+            )
+        )
+    )
+    raw = p_new_inner.unionByName(p_new_outer).unionByName(tiny_new).distinct()
+    return (
+        hydrate_and_verify(raw, all_, verify_mode="instr")
+        .select("conv_a", "conv_b")
+        .withColumn("src", F.lit("substring"))
+    )
 
 
 class StreamingDedup:
