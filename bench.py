@@ -35,7 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
+# 120k keeps the whole bench (2 symmetric reps x 2 levels + bracketing
+# ceiling probes) inside the same ~12-15 min budget the round-2 bench used.
+# Throughput is corpus-size-independent in this range (measured 2,734
+# conv/s at 120k vs 2,688 at 240k on 8 cores), and the fixed-cost share is
+# LARGER at 120k, so the reported scaling ratio is the conservative one —
+# BENCH_CONVS=240000 reproduces the round-2 scale.
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "120000"))
 # scaling levels: this VM exposes 32 vCPUs but the dedup pipeline hits a
 # hard shared-memory-bus throughput floor at ~8 worker threads (measured at
 # 240k convs: local[2]=257s, local[4]=158s, local[8]=89.3s, local[16]=89.5s
@@ -49,6 +55,14 @@ SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
 # symmetric reps: min-of-reps must treat both levels identically or the
 # reported ratio is biased by the extra draws on a +/-20-40%-noise VM
 REPS = int(os.environ.get("BENCH_REPS", "2"))
+# noise extension: if the per-level rep walls disagree by more than
+# NOISY_SPREAD (evidence the VM draw was degraded mid-window — measured
+# spreads up to 70% on identical code+input), run additional SYMMETRIC rep
+# pairs up to MAX_REPS per level. The trigger reads only the dispersion of
+# the samples, never the efficiency value, so it extends the window on
+# noisy draws without conditioning the stopping rule on the target.
+MAX_REPS = int(os.environ.get("BENCH_MAX_REPS", "4"))
+NOISY_SPREAD = float(os.environ.get("BENCH_NOISY_SPREAD", "0.15"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
 
 HEADLINE = [
@@ -192,7 +206,8 @@ def main() -> None:
     ceilings = [_hardware_ceiling(SCALE_LO, SCALE_HI)]
     runs_lo, runs_hi = [], []
     decisions = set()
-    for _ in range(max(REPS, 1)):
+
+    def _one_pair():
         _warm(corpus)
         r = _run_pipeline_subprocess(SCALE_LO, corpus)
         runs_lo.append(r)
@@ -201,6 +216,19 @@ def main() -> None:
         r = _run_pipeline_subprocess(SCALE_HI, corpus)
         runs_hi.append(r)
         decisions.add(r["decisions"])
+
+    def _spread(runs):
+        walls = [r["wall_sec"] for r in runs]
+        return (max(walls) - min(walls)) / min(walls)
+
+    for _ in range(max(REPS, 1)):
+        _one_pair()
+    # dispersion-triggered extension (see NOISY_SPREAD comment above)
+    while len(runs_lo) < MAX_REPS and (
+        _spread(runs_lo) > NOISY_SPREAD or _spread(runs_hi) > NOISY_SPREAD
+    ):
+        ceilings.append(_hardware_ceiling(SCALE_LO, SCALE_HI))
+        _one_pair()
     ceilings.append(_hardware_ceiling(SCALE_LO, SCALE_HI))
     lo = min(runs_lo, key=lambda r: r["wall_sec"])
     hi = min(runs_hi, key=lambda r: r["wall_sec"])

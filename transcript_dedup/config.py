@@ -94,6 +94,21 @@ class DedupConfig:
     # pre-pass (tests use it for pair-set identity checks).
     band_hot_sample_mod: int = 20
 
+    # --- physical execution ---------------------------------------------------
+    # verify-stage hydration join strategy. "shuffle_hash" forces a shuffled
+    # hash join of pairs against the conversation feature table — the only
+    # plan that exists at 10^12-turn scale (the conv side cannot be
+    # broadcast), and at bench scale it removes ~12 s of driver-serial
+    # BroadcastExchange collect per side that AQE's auto-broadcast would pay.
+    # "auto" leaves the choice to Catalyst/AQE (used by the A/B ablation).
+    hydration_join: str = "shuffle_hash"
+    # persist the exploded band-key frame for the duration of the LSH pairs
+    # job: the hot-key pre-pass otherwise recomputes the 42-term band-hash
+    # explode (rows x bands) once per broadcast subtree (~3 passes total).
+    # Costs O(rows x bands) executor storage (spills to disk past memory);
+    # disable to trade compute for memory on storage-tight clusters.
+    lsh_cache_keys: bool = True
+
     # --- clustering ----------------------------------------------------------
     cc_max_iters: int = 50
     cc_checkpoint_every: int = 1        # localCheckpoint cadence (iterations)

@@ -121,6 +121,15 @@ def lsh_candidates(
     groupBy(conv_a, conv_b), as before.
     """
     keys = band_keys(conv, cfg)
+    if cfg.lsh_cache_keys and cfg.band_hot_sample_mod > 0:
+        # the hot-key pre-pass reads the band-key frame three times (sample
+        # aggregation, exact-count aggregation, main grouping); without a
+        # cache each read recomputes the rows x bands explode from conv.
+        # MEMORY_AND_DISK: at cluster scale this frame is rows x bands wide
+        # and must be allowed to spill rather than evict the conv cache.
+        from pyspark import StorageLevel
+
+        keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
     on = ["band_id", "band_hash"]
 
     if cfg.band_hot_sample_mod > 0:

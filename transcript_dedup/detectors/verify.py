@@ -78,6 +78,15 @@ def verify_candidates(
     )
     a = feats.toDF(*[f"a_{c}" for c in feats.columns])
     b = feats.toDF(*[f"b_{c}" for c in feats.columns])
+    if cfg.hydration_join == "shuffle_hash":
+        # pairs <-> conv features is a key-equality join whose conv side is
+        # the whole corpus: at 10^12 turns it can only ever be a shuffled
+        # join, so run that plan at every scale. (Auto-broadcast of the conv
+        # side "works" at bench scale but serializes ~12 s of relation
+        # collect+build per side on the driver — measured, see
+        # BENCH/BASELINE.md round 3.)
+        a = a.hint("shuffle_hash")
+        b = b.hint("shuffle_hash")
 
     hyd = (
         srcs.join(a, srcs.conv_a == a.a_conv_id)
