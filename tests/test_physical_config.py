@@ -1,0 +1,58 @@
+"""Physical-execution config knobs must never change results.
+
+`hydration_join` picks the verify-stage join strategy and `lsh_cache_keys`
+persists the band-key frame — both are plan-level choices; the emitted
+candidate pairs, scores, and decisions must be bit-identical across every
+combination (the round-3 bench claims rest on this invariance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transcript_dedup.detectors import (
+    exact_candidates,
+    lsh_candidates,
+    substring_candidates,
+    verify_candidates,
+)
+from transcript_dedup.reconstruct import reconstruct_conversations
+from transcript_dedup.signatures import add_signatures
+
+
+def _pairs_fingerprint(spark, turns, cfg):
+    conv = add_signatures(reconstruct_conversations(turns), cfg).persist()
+    conv.count()
+    cand = (
+        exact_candidates(conv)
+        .unionByName(lsh_candidates(conv, cfg, None))
+        .unionByName(substring_candidates(conv, cfg, None, verify_mode="instr"))
+    )
+    pairs = verify_candidates(cand, conv, cfg)
+    row = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_match").cast("long")).alias("m"),
+        F.expr("bit_xor(xxhash64(conv_a, conv_b, confidence, suggested_keep))").alias("h"),
+    ).collect()[0]
+    conv.unpersist()
+    return (int(row["n"]), int(row["m"]), int(row["h"]))
+
+
+def test_hydration_and_keycache_variants_identical(spark, turns200, cfg):
+    variants = [
+        cfg.with_(hydration_join="auto", lsh_cache_keys=False),
+        cfg.with_(hydration_join="shuffle_hash", lsh_cache_keys=False),
+        cfg.with_(hydration_join="auto", lsh_cache_keys=True),
+        cfg.with_(hydration_join="shuffle_hash", lsh_cache_keys=True),
+    ]
+    fps = {_pairs_fingerprint(spark, turns200, c) for c in variants}
+    assert len(fps) == 1, f"physical config changed results: {fps}"
+
+
+def test_shuffle_hash_join_in_plan(spark, turns200, cfg):
+    conv = add_signatures(reconstruct_conversations(turns200), cfg)
+    cand = exact_candidates(conv)
+    pairs = verify_candidates(cand, conv, cfg.with_(hydration_join="shuffle_hash"))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -64,6 +64,11 @@ def verify_candidates(
         .agg(F.bit_or("_m").alias("src_mask"))
     )
 
+    # hydration payload is shuffled twice (a/b side): keep it minimal.
+    # role_seq is compared ONLY for equality, so ship its 64-bit hash
+    # instead of the O(turns)-byte string (collision => a spurious +5
+    # confidence, P ~ 2^-64 per pair — far below the content-hash arm's
+    # own collision floor).
     feats = conv.select(
         "conv_id",
         "content_hash",
@@ -71,10 +76,8 @@ def verify_candidates(
         "simhash",
         "n_shingles",
         "total_chars",
-        "turn_count",
-        "role_seq",
+        F.xxhash64("role_seq").alias("role_key"),
         "completeness",
-        "first_ts",
     )
     a = feats.toDF(*[f"a_{c}" for c in feats.columns])
     b = feats.toDF(*[f"b_{c}" for c in feats.columns])
@@ -122,7 +125,7 @@ def verify_candidates(
             F.abs(F.col("a_total_chars") - F.col("b_total_chars"))
             <= F.greatest("a_total_chars", "b_total_chars") * F.lit(cfg.length_tolerance_frac)
         ).alias("m_length"),
-        (F.col("a_role_seq") == F.col("b_role_seq")).alias("m_roles"),
+        (F.col("a_role_key") == F.col("b_role_key")).alias("m_roles"),
         quality_score("a_").alias("a_q"),
         quality_score("b_").alias("b_q"),
     )
