@@ -26,6 +26,9 @@ VARIANTS = {
     "hyd": dict(hydration_join="shuffle_hash", lsh_cache_keys=False),
     "keys": dict(hydration_join="auto", lsh_cache_keys=True),
     "both": dict(hydration_join="shuffle_hash", lsh_cache_keys=True),
+    # signature width A/B on top of the round-3 defaults (counts may differ
+    # from the 32-bit variants: band hashes change with the stored width)
+    "w64": dict(hydration_join="shuffle_hash", lsh_cache_keys=True, minhash_width=64),
 }
 
 

@@ -29,6 +29,16 @@ class DedupConfig:
     lsh_bands: int = 42                 # bands (lsh_bands * lsh_rows == num_perm)
     lsh_rows: int = 3                   # rows per band
     minhash_seed: int = 0x5EED_1DEA     # seeds the (a, b) permutation params
+    # stored signature width. 32 truncates each 64-bit per-permutation min
+    # to its low 32 bits (signatures._truncate_sig — argmin still decided
+    # in 64-bit space, estimator unchanged up to a 2^-32 collision term),
+    # halving signature bytes through the verify hydration shuffle. Kept at
+    # 64: an interleaved pinned A/B at 120k measured the int32 arrays
+    # consistently ~8% SLOWER in the pairs phase (63.9/61.2 s vs 58.9/57.6
+    # at 4 pinned cores — array<int> codegen paths lose more than the bytes
+    # save on this box; identical pair sets both widths). Part of the
+    # config fingerprint so snapshots invalidate when it changes.
+    minhash_width: int = 64
 
     # --- verification thresholds ------------------------------------------
     # fuzzy gate: band collision AND (est-Jaccard >= tau OR Hamming <= r).

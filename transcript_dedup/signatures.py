@@ -151,14 +151,31 @@ def shingle_hashes(norm_text: str, k: int) -> np.ndarray:
 _EMPTY_SIG_FILL = _U64(0xFFFFFFFFFFFFFFFF)
 
 
-def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """sig_i = min_j (a_i * sh_j + b_i) mod 2^64; empty doc -> all-ones fill
-    (never collides with a real signature under distinct band values)."""
+def _truncate_sig(sig64: np.ndarray, width: int = 32) -> np.ndarray:
+    """Keep the low `width` bits of each 64-bit min. Truncating AFTER the
+    min preserves the MinHash estimator (the argmin is decided in 64-bit
+    space; position equality gains only a 2^-width collision term, ~3e-8
+    across 126 positions at width 32) while halving the signature bytes —
+    the minhash arrays are the largest single stream through the
+    verify-stage hydration shuffle (126 elements x 2 sides per pair), which
+    is the memory-bandwidth-bound part of the pairs phase at high
+    parallelism."""
+    if width == 64:
+        return sig64
+    return (sig64 & _U64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def minhash_signature(
+    sh: np.ndarray, a: np.ndarray, b: np.ndarray, width: int = 32
+) -> np.ndarray:
+    """sig_i = low bits of (min_j (a_i * sh_j + b_i) mod 2^64); empty doc ->
+    all-ones fill (never collides with a real signature under distinct band
+    values)."""
     if sh.size == 0:
-        return np.full(a.shape[0], _EMPTY_SIG_FILL, dtype=np.uint64)
+        return _truncate_sig(np.full(a.shape[0], _EMPTY_SIG_FILL, dtype=np.uint64), width)
     with np.errstate(over="ignore"):
         vals = a[:, None] * sh[None, :] + b[:, None]
-    return vals.min(axis=1)
+    return _truncate_sig(vals.min(axis=1), width)
 
 
 def simhash64(norm_text: str) -> np.uint64:
@@ -222,14 +239,15 @@ def band_tuples(sig: np.ndarray, bands: int, rows: int) -> list[tuple]:
 
 
 def compute_signature_row(norm_text: str, cfg: DedupConfig, a: np.ndarray, b: np.ndarray):
-    """(minhash int64 list, simhash int64, n_shingles int) for one doc."""
+    """(minhash int list, simhash int64, n_shingles int) for one doc."""
     sh = shingle_hashes(norm_text, cfg.shingle_k)
-    sig = minhash_signature(sh, a, b)
+    sig = minhash_signature(sh, a, b, cfg.minhash_width)
     sim = int(simhash64(norm_text))
     if sim >= 1 << 63:  # two's-complement into Spark LongType
         sim -= 1 << 64
     grams = sampled_gram_hashes(norm_text, cfg.substring_gram_k, cfg.substring_mod)
-    return sig.view(np.int64).tolist(), sim, int(sh.size), grams.view(np.int64).tolist()
+    sview = np.int32 if cfg.minhash_width == 32 else np.int64
+    return sig.view(sview).tolist(), sim, int(sh.size), grams.view(np.int64).tolist()
 
 
 # --------------------------------------------------------------------------
@@ -266,8 +284,11 @@ def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, 
     out_sim = [0] * ndocs
     out_nsh = [0] * ndocs
     out_grams: list[list[int]] = [[] for _ in range(ndocs)]
+    sview = np.int32 if cfg.minhash_width == 32 else np.int64
     if n == 0:
-        empty_sig = np.full(a.shape[0], _EMPTY_SIG_FILL, dtype=np.uint64).view(np.int64).tolist()
+        empty_sig = _truncate_sig(
+            np.full(a.shape[0], _EMPTY_SIG_FILL, dtype=np.uint64), cfg.minhash_width
+        ).view(sview).tolist()
         return [list(empty_sig) for _ in range(ndocs)], out_sim, out_nsh, out_grams
 
     x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
@@ -398,8 +419,8 @@ def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, 
                     if bounds[d + 1] > bounds[d]:
                         out_grams[d] = ghi[bounds[d] : bounds[d + 1]].tolist()
 
-    sig_i64 = sig_all.view(np.int64)
-    out_sig = [sig_i64[d].tolist() for d in range(ndocs)]
+    sig_t = _truncate_sig(sig_all, cfg.minhash_width).view(sview)
+    out_sig = [sig_t[d].tolist() for d in range(ndocs)]
     return out_sig, out_sim, out_nsh, out_grams
 
 
@@ -408,8 +429,9 @@ def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, 
 # --------------------------------------------------------------------------
 
 def add_signatures(conv_df, cfg: DedupConfig):
-    """conversations(+norm_text) -> + minhash array<bigint>, simhash bigint,
-    n_shingles int. Arrow-batched mapInPandas; all other columns pass through.
+    """conversations(+norm_text) -> + minhash array<int> (32-bit truncated
+    MinHash — see _truncate_sig), simhash bigint, n_shingles int.
+    Arrow-batched mapInPandas; all other columns pass through.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -422,7 +444,11 @@ def add_signatures(conv_df, cfg: DedupConfig):
     out_schema = StructType(
         conv_df.schema.fields
         + [
-            StructField("minhash", ArrayType(LongType(), False), False),
+            StructField(
+                "minhash",
+                ArrayType(IntegerType() if cfg.minhash_width == 32 else LongType(), False),
+                False,
+            ),
             StructField("simhash", LongType(), False),
             StructField("n_shingles", IntegerType(), False),
             StructField("sub_grams", ArrayType(LongType(), False), False),
