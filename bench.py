@@ -6,17 +6,18 @@ Phase A — headline queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
 Phase B — north-rule scaling evidence: the full transcript dedup pipeline
 (reconstruct -> signatures -> 3 detectors -> verify -> CC -> decisions) on a
 deterministic generated corpus at BENCH_CONVS conversations (default
-240,000), run at local[SCALE_LO] and local[SCALE_HI] (the sandbox proxy for
-N vs 4N executors; see the level-choice note below). Each level runs in a
-fresh cold subprocess with identical warmup and a page-cache pre-read;
-levels are sampled multiple times (min wall per level) because this VM's
-throughput is ±20-40% run-to-run noisy.
+120,000), run at local[SCALE_LO] and local[SCALE_HI] (the sandbox proxy
+for N vs 4N executors; see the level-choice note below), each rep PINNED
+to exactly that many CPUs (taskset — see the PIN_CPUS note). Each level
+runs in a fresh cold subprocess with identical warmup and a page-cache
+pre-read; levels are sampled symmetrically (min wall per level, extra
+symmetric pairs when rep dispersion flags a degraded VM window).
 
-Phase C — hardware-ceiling probe: the same 4-vs-16 speedup measured on a
-pure-numpy multiprocessing workload with zero Spark, zero shuffle, zero
-coordination. This VM's 32 vCPUs deliver only ~16 cores' worth of
-throughput (SMT/steal), so even embarrassingly parallel code cannot reach
-4.0x from 4->16 processes; the probe quantifies the ceiling each round and
+Phase C — hardware-ceiling probe: the same SCALE_LO -> SCALE_HI speedup
+measured on a pure-numpy multiprocessing workload with zero Spark, zero
+shuffle, zero coordination, pinned the same way. The hypervisor
+oversubscribes vCPUs, so even embarrassingly parallel code cannot always
+reach the ideal speedup; the probe quantifies the ceiling each round and
 the JSON reports engine efficiency both raw and relative to it.
 
 Prints ONE JSON line:
