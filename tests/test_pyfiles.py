@@ -30,6 +30,51 @@ def test_zip_builds_and_is_deterministic(tmp_path):
     assert a["sha256"] == b["sha256"]  # byte-stable for identical sources
 
 
+def test_spark_submit_pyfiles_runs_pipeline(tmp_path):
+    """The north-rule deployment surface: spark-submit --py-files zip runs
+    the full pipeline with the package resolved from the archive (caught a
+    real bug: ship_package tried to re-archive the zip member)."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("spark-submit not available")
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from make_pyfiles import build_zip
+    finally:
+        sys.path.pop(0)
+    z = build_zip(str(tmp_path / "transcript_dedup.zip"))["zip"]
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import json, tempfile\n"
+        "from transcript_dedup.session import get_spark\n"
+        "from transcript_dedup.generate import generate_corpus, corpus_to_spark\n"
+        "from transcript_dedup.config import DedupConfig\n"
+        "from transcript_dedup.pipeline import DedupPipeline\n"
+        "spark = get_spark('submit-smoke', master='local[2]', shuffle_partitions=2)\n"
+        "turns = corpus_to_spark(spark, generate_corpus(60, seed=11)[0])\n"
+        "res = DedupPipeline(spark, tempfile.mkdtemp(), DedupConfig()).run(\n"
+        "    turns, input_fingerprint='submit-smoke')\n"
+        "print(json.dumps({'decisions': res['decisions'].count()}))\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [spark_submit, "--py-files", z, str(job)],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=360,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert res["decisions"] > 0
+
+
 def test_zip_imports_without_repo_on_path(tmp_path):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     try:

@@ -30,6 +30,12 @@ def ship_package(spark: SparkSession) -> None:
     workers whenever the driver script runs from outside the repo root.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already imported from a zip (spark-submit --py-files
+        # transcript_dedup.zip): the same archive reaches executor Python
+        # paths through spark-submit itself — nothing to ship, and
+        # re-archiving a zip member would fail
+        return
     zip_base = os.path.join(tempfile.mkdtemp(prefix="tdship"), "transcript_dedup")
     zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "transcript_dedup")
     spark.sparkContext.addPyFile(zip_path)
