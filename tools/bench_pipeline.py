@@ -31,8 +31,20 @@ def main():
     )
     cfg = DedupConfig()
 
-    # warmup: tiny end-to-end run primes JIT, Arrow python workers, codegen
-    wturns = corpus_to_spark(spark, generate_corpus(50, seed=7)[0])
+    # warmup: tiny end-to-end run primes JIT, Arrow python workers, codegen.
+    # One planted gramless doc (29 chars, no content-defined gram sampled at
+    # mod=64) routes through the substring tiny-path so the pattern-probe
+    # mapInPandas kernel's workers/codegen warm here too — otherwise its
+    # first (cold) execution lands inside the measured window (node metrics
+    # showed ~66 core-s of python-worker initialize at 4 pinned cores).
+    wpdf = generate_corpus(50, seed=7)[0]
+    tiny = wpdf.iloc[:1].copy()
+    tiny["conv_id"] = "warm-tiny"
+    tiny["turn_idx"] = 0
+    tiny["text"] = "warm tiny probe doc 0 variant"
+    import pandas as _pd
+
+    wturns = corpus_to_spark(spark, _pd.concat([wpdf, tiny], ignore_index=True))
     run_dedup_dataframes(add_signatures(reconstruct_conversations(wturns), cfg), cfg)[
         "decisions"
     ].count()
