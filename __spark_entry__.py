@@ -254,6 +254,51 @@ _add(
     ["documents"],
 )
 
+# ---- decontamination: training split vs held-out split (LLM-pipeline op) ----
+# Deterministic split (doc_id % 10 == 0 -> eval, else train); a train doc is
+# contaminated iff its 3-gram Jaccard against ANY eval doc clears the same
+# 0.05 gate the near-dup query uses. Cross-split variant of the blocked
+# n-gram join — shared grams block the pair space, so no eval x train
+# cartesian ever forms (the at-scale requirement).
+_add(
+    "doc_decontamination",
+    f"""
+    WITH n AS (SELECT doc_id, split({_NORM_SPARK.format(c='text')}, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, explode(array_distinct(transform(sequence(0, size(t) - 3),
+                 i -> concat_ws(' ', slice(t, i + 1, 3))))) AS gram
+          FROM n WHERE size(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    inter AS (SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS n_inter
+              FROM (SELECT * FROM g WHERE doc_id % 10 = 0) e
+              JOIN (SELECT * FROM g WHERE doc_id % 10 <> 0) tr ON e.gram = tr.gram
+              GROUP BY e.doc_id, tr.doc_id)
+    SELECT eval_id, train_id,
+           round(n_inter / cast(se.n_grams + st.n_grams - n_inter AS double), 6) AS jaccard
+    FROM inter
+    JOIN sz se ON se.doc_id = eval_id
+    JOIN sz st ON st.doc_id = train_id
+    WHERE n_inter / cast(se.n_grams + st.n_grams - n_inter AS double) >= 0.05
+    """,
+    f"""
+    WITH n AS (SELECT doc_id, string_split({_NORM_DUCK.format(c='text')}, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
+          FROM n WHERE len(t) >= 3),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    inter AS (SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS n_inter
+              FROM (SELECT * FROM g WHERE doc_id % 10 = 0) e
+              JOIN (SELECT * FROM g WHERE doc_id % 10 <> 0) tr ON e.gram = tr.gram
+              GROUP BY e.doc_id, tr.doc_id)
+    SELECT eval_id, train_id,
+           round(n_inter / cast(se.n_grams + st.n_grams - n_inter AS double), 6) AS jaccard
+    FROM inter
+    JOIN sz se ON se.doc_id = eval_id
+    JOIN sz st ON st.doc_id = train_id
+    WHERE n_inter / cast(se.n_grams + st.n_grams - n_inter AS double) >= 0.05
+    """,
+    ["documents"],
+)
+
 # ---- SO1: union of pair memberships (index.ts:435-441) ----------------------
 _add(
     "doc_pair_members",
