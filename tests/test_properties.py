@@ -91,6 +91,85 @@ edges_st = st.lists(
 )
 
 
+@given(tokens_st)
+@settings(max_examples=100, deadline=None)
+def test_sub_shingle_docs_have_shingles(toks):
+    """n_shingles > 0 <=> normalized text is non-empty — docs with fewer
+    than shingle_k tokens get ONE whole-doc shingle (shingle_hashes), so
+    the engine's exact-arm gate (n_shingles > 0 on both sides +
+    est_jaccard == 1.0) is exactly equivalent to the SQL oracles'
+    length(norm) > 0 equality join. Pins ADVICE r3 item 4: sub-shingle
+    exact duplicates match in BOTH the engine and the DuckDB oracle."""
+    norm = normalize_text_py(" ".join(toks))
+    sh = shingle_hashes(norm, _CFG.shingle_k)
+    assert (sh.size > 0) == (len(norm) > 0)
+    if norm:
+        # exact duplicates (any length, incl. sub-shingle): est_jaccard 1.0
+        sig = minhash_signature(sh, _A, _B, _CFG.minhash_width)
+        assert est_jaccard(sig, sig) == 1.0
+
+
+def test_fuzzy_or_gate_fp_budget():
+    """False-positive budget of the fuzzy OR gate (VERDICT r3 item 2).
+
+    The gate is band-collision AND (est-Jaccard >= tau OR Hamming <= r).
+    OR is deliberate (config.py: SimHash is the alternative verifier), so
+    this pins what OR may and may not admit:
+
+      1. independent random docs: ZERO merges — the Hamming disjunct never
+         fires for docs with different token bags, and band collision
+         plus est-Jaccard filters the rest;
+      2. permuted-token docs (identical bag, different order — the exact
+         class where Hamming == 0 while shingle Jaccard is low): the gate
+         can ONLY fire when an LSH band collides, so the FP rate is
+         bounded by the banded collision probability at their true
+         shingle Jaccard, measured small here.
+    """
+    rng = np.random.default_rng(1234)
+    from transcript_dedup.signatures import band_tuples
+
+    def doc(n, lo, hi):
+        return " ".join(f"w{rng.integers(lo, hi)}" for _ in range(n))
+
+    def feats(text):
+        sh = shingle_hashes(text, _CFG.shingle_k)
+        sig = minhash_signature(sh, _A, _B, _CFG.minhash_width)
+        bands = set(band_tuples(sig, _CFG.lsh_bands, _CFG.lsh_rows))
+        return sig, int(simhash64(text)), bands
+
+    def gate(fa, fb):
+        if not (fa[2] & fb[2]):
+            return False
+        ej = est_jaccard(fa[0], fb[0])
+        ham = bin(fa[1] ^ fb[1]).count("1")
+        return ej >= _CFG.jaccard_threshold or ham <= _CFG.hamming_radius
+
+    # class 1: independent docs drawn from overlapping vocab — no merges
+    fp = sum(
+        gate(feats(doc(60, 0, 400)), feats(doc(60, 0, 400))) for _ in range(150)
+    )
+    assert fp == 0
+
+    # class 2: same token bag, shuffled order (Hamming == 0 by construction)
+    collided = merged = 0
+    for _ in range(60):
+        toks = [f"w{rng.integers(0, 400)}" for _ in range(40)]
+        da = " ".join(toks)
+        db = " ".join(rng.permutation(toks).tolist())
+        if da == db:
+            continue
+        fa, fb = feats(da), feats(db)
+        assert bin(fa[1] ^ fb[1]).count("1") == 0  # order-invariant SimHash
+        if fa[2] & fb[2]:
+            collided += 1
+        if gate(fa, fb):
+            merged += 1
+    # the gate never fires without a band collision...
+    assert merged <= collided
+    # ...and banded LSH keeps the admission rate small for low-Jaccard bags
+    assert merged <= 6  # <= 10% of 60 shuffled pairs
+
+
 @given(edges_st)
 @settings(max_examples=100, deadline=None)
 def test_closure_properties(raw):

@@ -26,16 +26,25 @@ VARIANTS = {
     "hyd": dict(hydration_join="shuffle_hash", lsh_cache_keys=False),
     "keys": dict(hydration_join="auto", lsh_cache_keys=True),
     "both": dict(hydration_join="shuffle_hash", lsh_cache_keys=True),
-    # signature width A/B on top of the round-3 defaults (counts may differ
-    # from the 32-bit variants: band hashes change with the stored width)
+    # signature width A/B on top of the round-3 defaults. The shipped
+    # default is minhash_width=64 (config.py), so base/hyd/keys/both already
+    # run at 64 bits and "w64" == "both"; "w32" is the ablation arm that
+    # reproduces the measured-and-rejected 32-bit truncation (counts may
+    # differ from the 64-bit variants: band hashes change with the width)
     "w64": dict(hydration_join="shuffle_hash", lsh_cache_keys=True, minhash_width=64),
+    "w32": dict(hydration_join="shuffle_hash", lsh_cache_keys=True, minhash_width=32),
 }
 
 
 def main():
     cores = int(sys.argv[1])
     corpus = sys.argv[2]
-    names = [a for a in sys.argv[3:] if a in VARIANTS] or list(VARIANTS)
+    # width variants opt-in only: w32 legitimately changes pair counts, so
+    # including it by default would make the cross-variant "identical"
+    # invariant read false for the join/caching variants it actually checks
+    names = [a for a in sys.argv[3:] if a in VARIANTS] or [
+        n for n in VARIANTS if not n.startswith("w")
+    ]
     reps = int(sys.argv[-1]) if sys.argv[-1].isdigit() else 1
 
     from transcript_dedup.config import DedupConfig

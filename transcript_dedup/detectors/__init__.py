@@ -16,13 +16,14 @@ verify.py scores the unioned candidates (compareFiles analogue,
 """
 
 from .exact import exact_candidates
-from .lsh import lsh_candidates
+from .lsh import lsh_candidates, release_key_caches
 from .substring import substring_candidates
 from .verify import verify_candidates
 
 __all__ = [
     "exact_candidates",
     "lsh_candidates",
+    "release_key_caches",
     "substring_candidates",
     "verify_candidates",
 ]

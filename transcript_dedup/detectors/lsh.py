@@ -43,6 +43,18 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 
+# band-key frames persisted by lsh_candidates, alive until the pairs output
+# materializes; callers release them via release_key_caches() once the
+# pairs job commits (pipeline does this after the candidate_pairs snapshot)
+_KEY_CACHES: list[DataFrame] = []
+
+
+def release_key_caches() -> None:
+    """Unpersist every band-key frame cached by lsh_candidates. Safe to call
+    any time after the pairs output is materialized; idempotent."""
+    while _KEY_CACHES:
+        _KEY_CACHES.pop().unpersist()
+
 
 def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
     """conversations -> (conv_id, band_id, band_hash); empty docs skipped."""
@@ -127,9 +139,12 @@ def lsh_candidates(
         # cache each read recomputes the rows x bands explode from conv.
         # MEMORY_AND_DISK: at cluster scale this frame is rows x bands wide
         # and must be allowed to spill rather than evict the conv cache.
+        # Registered in _KEY_CACHES; the pipeline unpersists it via
+        # release_key_caches() once the pairs output materializes.
         from pyspark import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+        _KEY_CACHES.append(keys)
     on = ["band_id", "band_hash"]
 
     if cfg.band_hot_sample_mod > 0:

@@ -5,8 +5,14 @@ column expressions (whole-stage codegen, no Python).
 Signals and weights (reference code wins over README — SURVEY.md 2.11):
 
   content   +50  content-hash equality            ~ artist+title exact (:97-108)
-  fuzzy     +30  est-Jaccard >= tau AND SimHash
-                 Hamming distance <= r            ~ filename Levenshtein (:110-140)
+  fuzzy     +30  band collision AND (est-Jaccard
+                 >= tau OR SimHash Hamming <= r)  ~ filename Levenshtein (:110-140)
+                 (OR, deliberately: SimHash is the ALTERNATIVE verifier for
+                 short docs whose shingle overlap underestimates similarity
+                 — measured, see config.py; the reference's own gate is a
+                 disjunction of verifiers, duplicates.ts:56-58. The OR-gate
+                 false-positive budget is pinned by
+                 tests/test_properties.py::test_fuzzy_or_gate_fp_budget.)
   substring +30  verified containment edge        ~ (graft addition)
   length    +15  |chars_a - chars_b| within band  ~ duration +/- 5 s (:85-95)
   roles      +5  identical role sequence          ~ album match (:142-148)

@@ -11,8 +11,8 @@ Spark's transitive-closure pair set vs this oracle's.
 
 Gate (graft mapping of artistTitle || filename, duplicates.ts:56-58):
   exact      normalized texts equal (non-empty)
-  fuzzy      some LSH band collides AND est-Jaccard >= tau AND
-             SimHash Hamming <= r
+  fuzzy      some LSH band collides AND (est-Jaccard >= tau OR
+             SimHash Hamming <= r) — OR by design, see verify.py/config.py
   substring  one normalized text strictly contained in the other
 """
 

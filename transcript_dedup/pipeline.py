@@ -31,6 +31,7 @@ from .decide import find_conflicts, make_decisions
 from .detectors import (
     exact_candidates,
     lsh_candidates,
+    release_key_caches,
     substring_candidates,
     verify_candidates,
 )
@@ -59,8 +60,13 @@ class DedupPipeline:
         self.cfg_fp = _fp(json.dumps(asdict(self.cfg), sort_keys=True, default=str))
 
     # ------------------------------------------------------------------
-    def _stage(self, name: str, fingerprint: str, build, rows_in: int, resume: bool):
-        """Run one stage with resume + metrics; returns (df, snapshot_id)."""
+    def _stage(self, name: str, fingerprint: str, build, rows_in, resume: bool):
+        """Run one stage with resume + metrics; returns (df, snapshot_id).
+
+        ``rows_in`` may be an int or a zero-arg callable — the callable is
+        only invoked when the stage actually builds, so a fully-resumed
+        ``run()`` never launches the input-count job (a full input scan at
+        10^12 turns just to re-log a metrics field)."""
         if resume and self.io.has_fingerprint(name, fingerprint):
             snap = self.io.current_snapshot(name)
             return self.io.read(self.spark, name), snap["id"]
@@ -72,7 +78,7 @@ class DedupPipeline:
         self.metrics.log_stage(
             name,
             snap_id,
-            rows_in,
+            rows_in() if callable(rows_in) else rows_in,
             self.io.current_snapshot(name)["rows"],
             t.ms(),
             counters=counters,
@@ -90,18 +96,18 @@ class DedupPipeline:
     ) -> dict:
         """Run (or resume) the full pipeline; returns dict of DataFrames."""
         cfg = self.cfg
-        n_turns = turns.count()
 
         fp_conv = _fp("conversations", input_fingerprint, self.cfg_fp)
         conv, snap_conv = self._stage(
             "conversations",
             fp_conv,
             lambda c: add_signatures(reconstruct_conversations(turns), cfg),
-            n_turns,
+            lambda: turns.count(),  # only counted when the stage builds
             resume,
         )
 
-        n_conv = conv.count()
+        # conv row count comes from the committed snapshot manifest — no job
+        n_conv = self.io.current_snapshot("conversations")["rows"]
 
         def build_pairs(counters):
             cand = (
@@ -119,6 +125,8 @@ class DedupPipeline:
         pairs, snap_pairs = self._stage(
             "candidate_pairs", fp_pairs, build_pairs, n_conv, resume
         )
+        # the pairs snapshot is committed — the LSH band-key cache is dead
+        release_key_caches()
 
         fp_comp = _fp("components", fp_pairs, snap_pairs)
         comps, snap_comp = self._stage(
@@ -180,8 +188,12 @@ def run_dedup_dataframes(
         )
     )
     # verified pairs feed three consumers (CC edges, decision confidence,
-    # caller) — persist so the detector cascade runs exactly once
+    # caller) — persist so the detector cascade runs exactly once; the
+    # eager count materializes the cache (same AQE-race rationale as conv)
+    # and lets the LSH band-key cache be released immediately after
     pairs = verify_candidates(cand, conv, cfg).persist()
+    pairs.count()
+    release_key_caches()
     comps = connected_components(pairs.filter("is_match"), cfg, counters)
     decisions = make_decisions(comps, conv, pairs, cfg)
     return {"candidate_pairs": pairs, "components": comps, "decisions": decisions}

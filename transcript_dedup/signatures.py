@@ -151,7 +151,7 @@ def shingle_hashes(norm_text: str, k: int) -> np.ndarray:
 _EMPTY_SIG_FILL = _U64(0xFFFFFFFFFFFFFFFF)
 
 
-def _truncate_sig(sig64: np.ndarray, width: int = 32) -> np.ndarray:
+def _truncate_sig(sig64: np.ndarray, width: int = 64) -> np.ndarray:
     """Keep the low `width` bits of each 64-bit min. Truncating AFTER the
     min preserves the MinHash estimator (the argmin is decided in 64-bit
     space; position equality gains only a 2^-width collision term, ~3e-8
@@ -166,7 +166,7 @@ def _truncate_sig(sig64: np.ndarray, width: int = 32) -> np.ndarray:
 
 
 def minhash_signature(
-    sh: np.ndarray, a: np.ndarray, b: np.ndarray, width: int = 32
+    sh: np.ndarray, a: np.ndarray, b: np.ndarray, width: int = 64
 ) -> np.ndarray:
     """sig_i = low bits of (min_j (a_i * sh_j + b_i) mod 2^64); empty doc ->
     all-ones fill (never collides with a real signature under distinct band
@@ -429,8 +429,9 @@ def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, 
 # --------------------------------------------------------------------------
 
 def add_signatures(conv_df, cfg: DedupConfig):
-    """conversations(+norm_text) -> + minhash array<int> (32-bit truncated
-    MinHash — see _truncate_sig), simhash bigint, n_shingles int.
+    """conversations(+norm_text) -> + minhash (array<bigint> at the default
+    cfg.minhash_width=64; array<int> when width=32 — see _truncate_sig),
+    simhash bigint, n_shingles int.
     Arrow-batched mapInPandas; all other columns pass through.
     """
     from pyspark.sql.types import (

@@ -329,6 +329,8 @@ class StreamingDedup:
 
         for df in (new, new_pairs, new_matched, comps_new):
             df.unpersist()
+        if all_ is not new:  # stored-corpus union persisted separately above
+            all_.unpersist()
         if redelivered is not None:
             redelivered.unpersist()
 
