@@ -828,17 +828,22 @@ def _q_doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript dedup on the deterministic generated corpus
-    (seed=42): decisions summary. Engine-only (iterative CC + Arrow kernels)
-    -> rows-only driver check."""
+    (seed=42): full three-detector decisions summary. Oracle-checked since
+    round 4: the kernel-computed MinHash/SimHash signatures are exported to
+    parquet once (bit-identical on both sides — the documented kernel-sharing
+    invariant, pinned by tests/test_signatures.py Spark==Python parity), and
+    DuckDB independently reproduces the LSH banded collision join (list
+    slices), est-Jaccard (position-equality fraction), the SimHash Hamming
+    ball (bit_count(xor)), the exact/substring arms, connected components
+    (recursive CTE) and the rule cascade."""
     from pyspark.sql import functions as F
 
     from transcript_dedup.config import DedupConfig
-    from transcript_dedup.generate import corpus_to_spark, generate_corpus
     from transcript_dedup.pipeline import run_dedup_dataframes
     from transcript_dedup.reconstruct import reconstruct_conversations
     from transcript_dedup.signatures import add_signatures
 
-    turns = corpus_to_spark(spark, generate_corpus(200, seed=42)[0])
+    turns = spark.read.parquet(_ensure_corpus_export())
     conv = add_signatures(reconstruct_conversations(turns), DedupConfig())
     res = run_dedup_dataframes(conv)
     return (
@@ -849,8 +854,8 @@ def _q_transcript_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", "delete").alias("delete"),
             "rule_applied",
             "decision_type",
-            "min_confidence",
-            "size",
+            F.col("min_confidence").cast("long").alias("min_confidence"),
+            F.col("size").cast("long").alias("size"),
         )
         .orderBy("group_id")
     )
@@ -1007,13 +1012,59 @@ _EMB_DUP_ORACLE = """
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH approximate top-k (rows-only: bucket hashing is not
-    SQL-expressible in DuckDB; recall vs brute force asserted in tests)."""
+    """Sign-LSH approximate top-k. Oracle-checked since round 4: the seeded
+    hyperplanes are deterministic given (dim, shape, seed) — the same
+    property that lets every Arrow worker regenerate them — so the oracle
+    SQL embeds the 60x64 plane constants and DuckDB reproduces the sign
+    buckets, the per-table bucket join, exact cosine, and top-k
+    independently."""
     from transcript_dedup.embeddings import ann_lsh_topk
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = vecs.filter("vec_id < 5")
     return ann_lsh_topk(vecs, queries, k=5, n_planes=6, n_tables=10)
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 10, seed: int = 7) -> str:
+    """DuckDB oracle for `ann_lsh_topk`: embeds the seeded hyperplanes as
+    literals (they are a pure function of (dim, n_planes, n_tables, seed) —
+    embeddings.hyperplane_planes) and recomputes sign-pattern buckets with
+    list_dot_product, candidate bucket collisions per table, exact cosine
+    and row_number top-5 — the whole generate-then-verify path in SQL."""
+    from transcript_dedup.embeddings import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes, n_tables, seed)
+    rows = []
+    for idx in range(planes.shape[0]):
+        vec = ",".join(repr(float(x)) for x in planes[idx])
+        rows.append(f"({idx // n_planes},{idx % n_planes},[{vec}])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tid, pid, pv) AS (VALUES
+      {values}),
+    emb AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings),
+    bk AS (SELECT e.vec_id, p.tid,
+                  sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                           THEN CAST(1 AS BIGINT) << p.pid ELSE 0 END) AS bucket
+           FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.tid),
+    qb AS (SELECT vec_id AS qid, tid, bucket FROM bk WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT q.qid, b.vec_id AS neighbor
+             FROM qb q JOIN bk b ON q.tid = b.tid AND q.bucket = b.bucket
+                     AND b.vec_id <> q.qid),
+    s AS (SELECT c.qid, c.neighbor,
+                 list_dot_product(ev.v, eq.v) /
+                 (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(eq.v, eq.v)))
+                   AS cosine
+          FROM cand c
+          JOIN emb ev ON c.neighbor = ev.vec_id
+          JOIN emb eq ON c.qid = eq.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, neighbor ASC) AS rn
+          FROM s)
+    SELECT qid, neighbor, round(cosine, 6) AS cosine, rn AS rank
+    FROM r WHERE rn <= 5
+"""
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,6 +1269,185 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
 """
 
 
+_SIGS_PARQUET = "/tmp/transcript_dedup_sigs_seed42_n200.parquet"
+
+
+def _ensure_sig_export() -> str:
+    """Export the kernel-computed (conv_id, minhash, simhash, n_shingles)
+    rows once. Signatures come from the pure-Python oracle kernel, which is
+    bit-identical to the Spark mapInPandas kernel by construction (shared
+    numpy functions; pinned by tests/test_signatures.py
+    test_spark_kernel_matches_python) — so DuckDB can reproduce every
+    signature-derived quantity (band collisions via list slices,
+    est-Jaccard as a position-equality fraction, SimHash Hamming via
+    bit_count(xor)) without re-deriving the non-SQL-expressible hashes."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.config import DedupConfig
+    from transcript_dedup.generate import generate_corpus
+    from transcript_dedup.oracle import build_records
+
+    if not os.path.exists(_SIGS_PARQUET):
+        recs = build_records(generate_corpus(200, seed=42)[0], DedupConfig())
+        tbl = pa.table(
+            {
+                "conv_id": [r.conv_id for r in recs],
+                "minhash": [
+                    np.asarray(r.sig, dtype=np.uint64).view(np.int64).tolist()
+                    for r in recs
+                ],
+                "simhash": [
+                    r.sim - (1 << 64) if r.sim >= (1 << 63) else r.sim for r in recs
+                ],
+                "n_shingles": [int(r.n_shingles) for r in recs],
+            },
+            schema=pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("minhash", pa.list_(pa.int64())),
+                    ("simhash", pa.int64()),
+                    ("n_shingles", pa.int32()),
+                ]
+            ),
+        )
+        fd, tmp = tempfile.mkstemp(suffix=".parquet", dir="/tmp")
+        os.close(fd)
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, _SIGS_PARQUET)
+    return _SIGS_PARQUET
+
+
+def _transcript_decisions_oracle() -> str:
+    """Full three-detector DuckDB oracle for `transcript_decisions`.
+
+    Extends the exact+substring oracle with the fuzzy MinHash arm over the
+    exported signatures: the LSH banded candidate join is reproduced as a
+    self-join on raw 3-element signature slices (the engine hashes the
+    slice with xxhash64, so its candidate set is a superset only under a
+    64-bit collision), est-Jaccard as the position-equality fraction over
+    the 126 minhash positions, and the SimHash Hamming ball as
+    bit_count(xor). Per-pair match flags are computed from first
+    principles for the UNION of all arms' candidates — exactly verify.py's
+    semantics, where m_content/m_substring/m_fuzzy are pair predicates
+    independent of which detector surfaced the pair. Constants mirror
+    DedupConfig defaults (42 bands x 3 rows, tau=0.35, r=6, weights
+    50/30/30/15/5, confidence_threshold=40)."""
+    corpus = _ensure_corpus_export()
+    sigs = _ensure_sig_export()
+    return f"""
+    WITH t AS (SELECT * FROM read_parquet('{corpus}')),
+    conv AS (
+      SELECT conv_id,
+             sum(length(text)) AS total_chars,
+             min(ts) AS first_ts,
+             avg(CASE WHEN length(trim(text)) > 0 THEN CAST(1 AS double)
+                      ELSE CAST(0 AS double) END) AS completeness,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text,
+             string_agg(role, '|' ORDER BY turn_idx) AS role_seq
+      FROM t GROUP BY conv_id),
+    n AS (SELECT conv_id, total_chars, first_ts, completeness, role_seq,
+                 {_NORM_DUCK.format(c='doc_text')} AS norm
+          FROM conv),
+    sg AS (SELECT * FROM read_parquet('{sigs}')),
+    bnd AS (SELECT conv_id, tb.b AS band, minhash[tb.b*3+1 : tb.b*3+3] AS bk
+            FROM sg, (SELECT unnest(range(0, 42)) AS b) tb
+            WHERE n_shingles > 0),
+    coll AS (SELECT DISTINCT x.conv_id AS conv_a, y.conv_id AS conv_b
+             FROM bnd x JOIN bnd y
+               ON x.band = y.band AND x.bk = y.bk AND x.conv_id < y.conv_id),
+    cont AS (SELECT DISTINCT least(a.conv_id, b.conv_id) AS conv_a,
+                    greatest(a.conv_id, b.conv_id) AS conv_b
+             FROM n a JOIN n b
+               ON length(a.norm) > 0 AND length(a.norm) < length(b.norm)
+              AND position(a.norm IN b.norm) > 0),
+    exg AS (SELECT conv_id, min(conv_id) OVER (PARTITION BY norm) AS rep
+            FROM n WHERE length(norm) > 0),
+    cand AS (SELECT conv_a, conv_b FROM coll
+             UNION SELECT conv_a, conv_b FROM cont
+             UNION SELECT rep, conv_id FROM exg WHERE conv_id <> rep),
+    feat AS (
+      SELECT c.conv_a, c.conv_b,
+             (na.norm = nb.norm) AS m_content,
+             (cl.conv_a IS NOT NULL AND (
+                len(list_filter(range(1, 127),
+                                i -> sa.minhash[i] = sb.minhash[i])) / 126.0 >= 0.35
+                OR bit_count(xor(sa.simhash, sb.simhash)) <= 6)) AS m_fuzzy,
+             (co.conv_a IS NOT NULL) AS m_substring,
+             (abs(na.total_chars - nb.total_chars)
+                <= greatest(na.total_chars, nb.total_chars) * 0.2) AS m_length,
+             (na.role_seq = nb.role_seq) AS m_roles
+      FROM cand c
+      JOIN n na ON c.conv_a = na.conv_id
+      JOIN n nb ON c.conv_b = nb.conv_id
+      JOIN sg sa ON c.conv_a = sa.conv_id
+      JOIN sg sb ON c.conv_b = sb.conv_id
+      LEFT JOIN coll cl ON c.conv_a = cl.conv_a AND c.conv_b = cl.conv_b
+      LEFT JOIN cont co ON c.conv_a = co.conv_a AND c.conv_b = co.conv_b),
+    mp AS (SELECT conv_a, conv_b,
+             (CASE WHEN m_content THEN 50 ELSE 0 END)
+           + (CASE WHEN m_fuzzy THEN 30 ELSE 0 END)
+           + (CASE WHEN m_substring THEN 30 ELSE 0 END)
+           + (CASE WHEN m_length THEN 15 ELSE 0 END)
+           + (CASE WHEN m_roles THEN 5 ELSE 0 END) AS conf
+           FROM feat WHERE m_content OR m_fuzzy OR m_substring),
+    edges AS (SELECT conv_a AS s, conv_b AS d FROM mp
+              UNION SELECT conv_b, conv_a FROM mp),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s)
+      SELECT a AS conv_id, min(b) AS component_id FROM reach GROUP BY a),
+    m AS (SELECT rec.conv_id, rec.component_id,
+                 n.completeness, n.total_chars, n.first_ts
+          FROM rec JOIN n ON rec.conv_id = n.conv_id),
+    w1 AS (SELECT m.*,
+             max(completeness) OVER cw AS maxc,
+             max(total_chars) OVER cw AS maxtc,
+             min(first_ts) OVER cw AS mints,
+             min(conv_id) OVER cw AS minid
+           FROM m WINDOW cw AS (PARTITION BY component_id)),
+    w3 AS (SELECT *,
+             sum(CASE WHEN completeness = maxc THEN 1 ELSE 0 END) OVER cw AS nbc,
+             sum(CASE WHEN total_chars = maxtc THEN 1 ELSE 0 END) OVER cw AS nbl,
+             sum(CASE WHEN first_ts = mints THEN 1 ELSE 0 END) OVER cw AS nbe
+           FROM w1 WINDOW cw AS (PARTITION BY component_id)),
+    w4 AS (SELECT *,
+             CASE WHEN nbc = 1 THEN 'keep-most-complete'
+                  WHEN nbl = 1 THEN 'keep-longest'
+                  WHEN nbe = 1 THEN 'keep-earliest'
+                  ELSE 'keep-first-id' END AS rule_applied,
+             CASE WHEN nbc = 1 THEN completeness = maxc
+                  WHEN nbl = 1 THEN total_chars = maxtc
+                  WHEN nbe = 1 THEN first_ts = mints
+                  ELSE conv_id = minid END AS is_keep
+           FROM w3),
+    pc AS (SELECT r.component_id, min(mp.conf) AS min_confidence
+           FROM mp JOIN rec r ON mp.conv_a = r.conv_id
+           GROUP BY r.component_id),
+    dec AS (SELECT component_id AS group_id,
+                   coalesce(string_agg(CASE WHEN is_keep THEN conv_id END,
+                                       ',' ORDER BY conv_id), '') AS keep,
+                   coalesce(string_agg(CASE WHEN NOT is_keep THEN conv_id END,
+                                       ',' ORDER BY conv_id), '') AS del_,
+                   min(rule_applied) AS rule_applied,
+                   count(*) AS size
+            FROM w4 GROUP BY component_id)
+    SELECT d.group_id, d.keep, d.del_ AS "delete", d.rule_applied,
+           CASE WHEN coalesce(pc.min_confidence, 0) >= 40 THEN 'auto'
+                ELSE 'needs_review' END AS decision_type,
+           CAST(coalesce(pc.min_confidence, 0) AS bigint) AS min_confidence,
+           CAST(d.size AS bigint) AS size
+    FROM dec d LEFT JOIN pc ON d.group_id = pc.component_id
+    ORDER BY d.group_id
+"""
+
+
 def _q_doc_weighted_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8/F9 analogue (reference src/resolve-conflicts.ts:47-94 weighted
     path-prefix scorer + src/metadata.ts extractArtist denylist): a
@@ -1324,12 +1554,14 @@ def oracle_sql() -> dict[str, str]:
     out["ann_ivf_fullprobe_topk"] = _IVF_FULLPROBE_ORACLE
     out["transcript_decisions_es"] = _TRANSCRIPT_DECISIONS_ES_ORACLE
     out["doc_weighted_keep"] = _WEIGHTED_KEEP_ORACLE
-    # transcript_decisions / ann_lsh_topk / ann_ivf_topk (partial probe):
-    # MinHash/SimHash kernels, LSH band hashing and est-Jaccard gates over
-    # them are not SQL-expressible in DuckDB -> rows-only here.
-    # transcript_decisions is value-hash-gated against the pure-Python
-    # reference oracle (oracle.oracle_decisions) in tests/test_oracle_parity;
-    # its exact+substring arm gets the full DuckDB oracle via
-    # transcript_decisions_es, and the IVF machinery gets one via
-    # ann_ivf_fullprobe_topk (full probe == brute force, test-pinned).
+    # full three-detector path: kernel signatures exported to parquet, all
+    # downstream logic (banded LSH join, est-Jaccard, Hamming, CC, cascade)
+    # reproduced independently in DuckDB
+    out["transcript_decisions"] = _transcript_decisions_oracle()
+    # sign-LSH buckets: the seeded planes are embedded as SQL constants
+    out["ann_lsh_topk"] = _ann_lsh_oracle()
+    # ann_ivf_topk (partial probe) stays rows-only: the iterative k-means
+    # quantizer is not SQL-expressible; the IVF machinery is hash-checked
+    # via ann_ivf_fullprobe_topk (full probe == brute force, test-pinned)
+    # and a pytest recall floor covers the partial probe.
     return out
