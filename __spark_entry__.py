@@ -1269,7 +1269,17 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
 """
 
 
-_SIGS_PARQUET = "/tmp/transcript_dedup_sigs_seed42_n200.parquet"
+def _sigs_parquet_path() -> str:
+    """Signature-export path keyed by the signature-relevant config, so a
+    default change (e.g. the round-4 num_perm 126->96 switch) can never pair
+    a stale export with a fresh engine run."""
+    from transcript_dedup.config import DedupConfig
+
+    cfg = DedupConfig()
+    return (
+        f"/tmp/transcript_dedup_sigs_seed42_n200"
+        f"_p{cfg.num_perm}w{cfg.minhash_width}k{cfg.shingle_k}.parquet"
+    )
 
 
 def _ensure_sig_export() -> str:
@@ -1292,7 +1302,8 @@ def _ensure_sig_export() -> str:
     from transcript_dedup.generate import generate_corpus
     from transcript_dedup.oracle import build_records
 
-    if not os.path.exists(_SIGS_PARQUET):
+    path = _sigs_parquet_path()
+    if not os.path.exists(path):
         recs = build_records(generate_corpus(200, seed=42)[0], DedupConfig())
         tbl = pa.table(
             {
@@ -1318,8 +1329,8 @@ def _ensure_sig_export() -> str:
         fd, tmp = tempfile.mkstemp(suffix=".parquet", dir="/tmp")
         os.close(fd)
         pq.write_table(tbl, tmp)
-        os.replace(tmp, _SIGS_PARQUET)
-    return _SIGS_PARQUET
+        os.replace(tmp, path)
+    return path
 
 
 def _transcript_decisions_oracle() -> str:
@@ -1334,9 +1345,12 @@ def _transcript_decisions_oracle() -> str:
     bit_count(xor). Per-pair match flags are computed from first
     principles for the UNION of all arms' candidates — exactly verify.py's
     semantics, where m_content/m_substring/m_fuzzy are pair predicates
-    independent of which detector surfaced the pair. Constants mirror
-    DedupConfig defaults (42 bands x 3 rows, tau=0.35, r=6, weights
-    50/30/30/15/5, confidence_threshold=40)."""
+    independent of which detector surfaced the pair. All banding/threshold
+    constants are substituted from DedupConfig so the oracle tracks config
+    changes (e.g. the round-4 num_perm 126->96 default switch)."""
+    from transcript_dedup.config import DedupConfig
+
+    cfg = DedupConfig()
     corpus = _ensure_corpus_export()
     sigs = _ensure_sig_export()
     return f"""
@@ -1354,8 +1368,9 @@ def _transcript_decisions_oracle() -> str:
                  {_NORM_DUCK.format(c='doc_text')} AS norm
           FROM conv),
     sg AS (SELECT * FROM read_parquet('{sigs}')),
-    bnd AS (SELECT conv_id, tb.b AS band, minhash[tb.b*3+1 : tb.b*3+3] AS bk
-            FROM sg, (SELECT unnest(range(0, 42)) AS b) tb
+    bnd AS (SELECT conv_id, tb.b AS band,
+                   minhash[tb.b*{cfg.lsh_rows}+1 : tb.b*{cfg.lsh_rows}+{cfg.lsh_rows}] AS bk
+            FROM sg, (SELECT unnest(range(0, {cfg.lsh_bands})) AS b) tb
             WHERE n_shingles > 0),
     coll AS (SELECT DISTINCT x.conv_id AS conv_a, y.conv_id AS conv_b
              FROM bnd x JOIN bnd y
@@ -1374,9 +1389,11 @@ def _transcript_decisions_oracle() -> str:
       SELECT c.conv_a, c.conv_b,
              (na.norm = nb.norm) AS m_content,
              (cl.conv_a IS NOT NULL AND (
-                len(list_filter(range(1, 127),
-                                i -> sa.minhash[i] = sb.minhash[i])) / 126.0 >= 0.35
-                OR bit_count(xor(sa.simhash, sb.simhash)) <= 6)) AS m_fuzzy,
+                len(list_filter(range(1, {cfg.num_perm + 1}),
+                                i -> sa.minhash[i] = sb.minhash[i]))
+                  / {float(cfg.num_perm)} >= {cfg.jaccard_threshold}
+                OR bit_count(xor(sa.simhash, sb.simhash))
+                     <= {cfg.hamming_radius})) AS m_fuzzy,
              (co.conv_a IS NOT NULL) AS m_substring,
              (abs(na.total_chars - nb.total_chars)
                 <= greatest(na.total_chars, nb.total_chars) * 0.2) AS m_length,

@@ -10,15 +10,28 @@ deterministic generated corpus at BENCH_CONVS conversations (default
 for N vs 4N executors; see the level-choice note below), each rep PINNED
 to exactly that many CPUs (taskset — see the PIN_CPUS note). Each level
 runs in a fresh cold subprocess with identical warmup and a page-cache
-pre-read; levels are sampled symmetrically (min wall per level, extra
-symmetric pairs when rep dispersion flags a degraded VM window).
+pre-read.
 
-Phase C — hardware-ceiling probe: the same SCALE_LO -> SCALE_HI speedup
-measured on a pure-numpy multiprocessing workload with zero Spark, zero
-shuffle, zero coordination, pinned the same way. The hypervisor
-oversubscribes vCPUs, so even embarrassingly parallel code cannot always
-reach the ideal speedup; the probe quantifies the ceiling each round and
-the JSON reports engine efficiency both raw and relative to it.
+The protocol is WINDOW-based (round-4 change): VM noise on this box is
+window-shaped — whole 20-minute stretches run 1.3-1.9x slow, including the
+pure-numpy ceiling probe — so single-window estimates of the lo/hi ratio
+swing +/-0.05-0.1 regardless of within-window replication. One window =
+[ceiling probe, lo rep, hi rep, ceiling probe]; BENCH_WINDOWS (default 3)
+independent windows run back-to-back, each window yields its own raw
+efficiency and efficiency-vs-its-own-ceiling (both levels and the bracket
+probes share the window's draw), and the HEADLINE numbers are the
+per-window MEDIANS — one degraded draw can sink at most one window. An
+extra window (up to BENCH_MAX_WINDOWS) is added when the per-window raw
+efficiencies disperse by more than BENCH_WINDOW_SPREAD; the trigger reads
+only dispersion, never the efficiency target.
+
+Phase C — hardware-ceiling probe (bracketing each window): the same
+SCALE_LO -> SCALE_HI speedup measured on a pure-numpy multiprocessing
+workload with zero Spark, zero shuffle, zero coordination, pinned the same
+way. The hypervisor oversubscribes vCPUs, so even embarrassingly parallel
+code cannot always reach the ideal speedup; the probe quantifies the
+ceiling per window and the JSON reports engine efficiency both raw and
+relative to it.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
@@ -53,17 +66,15 @@ BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "120000"))
 # documented in BENCH/BASELINE.md.
 SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "1"))
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "4"))
-# symmetric reps: min-of-reps must treat both levels identically or the
-# reported ratio is biased by the extra draws on a +/-20-40%-noise VM
-REPS = int(os.environ.get("BENCH_REPS", "2"))
-# noise extension: if the per-level rep walls disagree by more than
-# NOISY_SPREAD (evidence the VM draw was degraded mid-window — measured
-# spreads up to 70% on identical code+input), run additional SYMMETRIC rep
-# pairs up to MAX_REPS per level. The trigger reads only the dispersion of
-# the samples, never the efficiency value, so it extends the window on
-# noisy draws without conditioning the stopping rule on the target.
-MAX_REPS = int(os.environ.get("BENCH_MAX_REPS", "4"))
-NOISY_SPREAD = float(os.environ.get("BENCH_NOISY_SPREAD", "0.15"))
+# protocol windows (see module docstring): the noise on this VM is
+# window-shaped, so replication happens ACROSS bracketed windows and the
+# headline is the per-window median. Each window runs one symmetric lo/hi
+# pair between two ceiling probes.
+WINDOWS = int(os.environ.get("BENCH_WINDOWS", "3"))
+MAX_WINDOWS = int(os.environ.get("BENCH_MAX_WINDOWS", "4"))
+# add windows (up to MAX_WINDOWS) while the per-window raw efficiencies
+# disperse by more than this; dispersion-only trigger, never the target
+WINDOW_SPREAD = float(os.environ.get("BENCH_WINDOW_SPREAD", "0.15"))
 # pin each scaling rep to exactly `cores` CPUs (taskset). Unpinned local[N]
 # is NOT an N-core budget: the JVM's GC/shuffle/IO threads and the Arrow
 # Python workers run BESIDE the N task threads and borrow extra cores —
@@ -221,47 +232,60 @@ def main() -> None:
 
     stop_spark(spark)
 
-    # Phase B: scaling — identical job, two parallelism levels, SYMMETRIC
-    # interleaved reps (lo, hi, lo, hi, ...), each rep in a fresh subprocess
-    # with identical warmup and a page-cache pre-read. Min wall per level
-    # (the least-noise estimator on this ±20-40% noisy VM); every rep's wall
-    # is reported raw alongside. The hardware-ceiling probe (Phase C) runs
-    # BEFORE and AFTER the measured levels so raw and vs-ceiling efficiency
-    # come from the same VM draw.
-    ceilings = [_hardware_ceiling(SCALE_LO, SCALE_HI)]
-    runs_lo, runs_hi = [], []
+    # Phase B + C: bracketed protocol windows (see module docstring). Each
+    # window = [ceiling probe, lo rep, hi rep, ceiling probe], every rep in
+    # a fresh subprocess with identical warmup and a page-cache pre-read;
+    # the window's raw efficiency and its own-draw ceiling come from the
+    # same VM stretch. Headline = per-window MEDIANS.
+    windows: list[dict] = []
     decisions = set()
 
-    def _one_pair():
+    def _one_window() -> dict:
+        c0 = _hardware_ceiling(SCALE_LO, SCALE_HI)
         _warm(corpus)
-        r = _run_pipeline_subprocess(SCALE_LO, corpus)
-        runs_lo.append(r)
-        decisions.add(r["decisions"])
+        lo = _run_pipeline_subprocess(SCALE_LO, corpus)
+        decisions.add(lo["decisions"])
         _warm(corpus)
-        r = _run_pipeline_subprocess(SCALE_HI, corpus)
-        runs_hi.append(r)
-        decisions.add(r["decisions"])
+        hi = _run_pipeline_subprocess(SCALE_HI, corpus)
+        decisions.add(hi["decisions"])
+        c1 = _hardware_ceiling(SCALE_LO, SCALE_HI)
+        eff = (hi["conv_per_sec"] / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
+        # max of the bracket probes = the least-pessimistic reading of the
+        # draw the engine reps actually ran under
+        ceiling = max(c0, c1)
+        w = {
+            "wall_sec_lo": lo["wall_sec"],
+            "wall_sec_hi": hi["wall_sec"],
+            "conv_per_sec_lo": lo["conv_per_sec"],
+            "conv_per_sec_hi": hi["conv_per_sec"],
+            "raw": round(eff, 3),
+            "ceiling_probes": [c0, c1],
+            "ceiling": ceiling,
+            "vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            "convs": hi["convs"],
+            "decisions": hi["decisions"],
+        }
+        windows.append(w)
+        return w
 
-    def _spread(runs):
-        walls = [r["wall_sec"] for r in runs]
-        return (max(walls) - min(walls)) / min(walls)
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        mid = n // 2
+        return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
 
-    for _ in range(max(REPS, 1)):
-        _one_pair()
-    # dispersion-triggered extension (see NOISY_SPREAD comment above)
-    while len(runs_lo) < MAX_REPS and (
-        _spread(runs_lo) > NOISY_SPREAD or _spread(runs_hi) > NOISY_SPREAD
-    ):
-        ceilings.append(_hardware_ceiling(SCALE_LO, SCALE_HI))
-        _one_pair()
-    ceilings.append(_hardware_ceiling(SCALE_LO, SCALE_HI))
-    lo = min(runs_lo, key=lambda r: r["wall_sec"])
-    hi = min(runs_hi, key=lambda r: r["wall_sec"])
-    eff = (hi["conv_per_sec"] / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
+    def _spread(xs: list[float]) -> float:
+        return (max(xs) - min(xs)) / min(xs) if xs else 0.0
 
-    # Phase C: what lo->hi speedup can this VM deliver AT BEST? (max of the
-    # bracketing probes = the least-pessimistic reading of the same draw)
-    ceiling = max(ceilings)
+    for _ in range(max(WINDOWS, 1)):
+        _one_window()
+    # dispersion-triggered extension (see WINDOW_SPREAD comment above)
+    while len(windows) < MAX_WINDOWS and _spread([w["raw"] for w in windows]) > WINDOW_SPREAD:
+        _one_window()
+
+    eff = round(_median([w["raw"] for w in windows]), 3)
+    vs_ceiling = round(_median([w["vs_ceiling"] for w in windows]), 3)
+    best = max(windows, key=lambda w: w["raw"])
 
     out = {
         "metric": "headline_suite_plus_dedup_scaling",
@@ -270,21 +294,22 @@ def main() -> None:
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "dedup": {
-            "corpus_convs": hi["convs"],
-            "decisions": hi["decisions"],
+            "corpus_convs": windows[0]["convs"],
+            "decisions": windows[0]["decisions"],
             "decisions_identical_across_levels": len(decisions) == 1,
             "cores_hi": SCALE_HI,
             "cores_lo": SCALE_LO,
-            "wall_sec_hi": hi["wall_sec"],
-            "wall_sec_lo": lo["wall_sec"],
-            "wall_sec_hi_runs": [r["wall_sec"] for r in runs_hi],
-            "wall_sec_lo_runs": [r["wall_sec"] for r in runs_lo],
-            "conv_per_sec_hi": hi["conv_per_sec"],
-            "conv_per_sec_lo": lo["conv_per_sec"],
-            "scaling_efficiency": round(eff, 3),
-            "hardware_ceiling_efficiency": ceiling,
-            "hardware_ceiling_probes": ceilings,
-            "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            "protocol": "median over bracketed pinned windows",
+            "n_windows": len(windows),
+            "windows": windows,
+            "wall_sec_hi_runs": [w["wall_sec_hi"] for w in windows],
+            "wall_sec_lo_runs": [w["wall_sec_lo"] for w in windows],
+            "scaling_efficiency": eff,
+            "scaling_efficiency_windows": [w["raw"] for w in windows],
+            "hardware_ceiling_probes": [c for w in windows for c in w["ceiling_probes"]],
+            "efficiency_vs_ceiling": vs_ceiling,
+            "efficiency_vs_ceiling_windows": [w["vs_ceiling"] for w in windows],
+            "best_window": {"raw": best["raw"], "vs_ceiling": best["vs_ceiling"]},
         },
     }
     print(json.dumps(out))

@@ -29,7 +29,10 @@ def main():
     spark = get_spark(
         f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
     )
-    cfg = DedupConfig()
+    # config override hook for A/B experiments (e.g. TD_CFG='{"num_perm": 96,
+    # "lsh_bands": 32}') — keeps ablations on the exact pinned subprocess
+    # protocol the official bench uses
+    cfg = DedupConfig().with_(**json.loads(os.environ.get("TD_CFG", "{}")))
 
     # warmup: tiny end-to-end run primes JIT, Arrow python workers, codegen.
     # One planted gramless doc (29 chars, no content-defined gram sampled at

@@ -157,8 +157,8 @@ def _truncate_sig(sig64: np.ndarray, width: int = 64) -> np.ndarray:
     space; position equality gains only a 2^-width collision term, ~3e-8
     across 126 positions at width 32) while halving the signature bytes —
     the minhash arrays are the largest single stream through the
-    verify-stage hydration shuffle (126 elements x 2 sides per pair), which
-    is the memory-bandwidth-bound part of the pairs phase at high
+    verify-stage hydration shuffle (num_perm elements x 2 sides per pair),
+    which is the memory-bandwidth-bound part of the pairs phase at high
     parallelism."""
     if width == 64:
         return sig64
