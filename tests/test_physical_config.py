@@ -49,6 +49,38 @@ def test_hydration_and_keycache_variants_identical(spark, turns200, cfg):
     assert len(fps) == 1, f"physical config changed results: {fps}"
 
 
+def test_split_hydration_bit_identical(spark, turns200, cfg):
+    """cfg.split_hydration routes content-equal pairs through a light
+    (array-free) hydration sub-path — the 100 TB posture where degenerate
+    exact-dup cliques dominate the pair mass. Every emitted value
+    (est_jaccard, hamming, confidence, match_reasons, suggested_keep) must
+    be bit-identical to the single-pass plan."""
+    conv = add_signatures(reconstruct_conversations(turns200), cfg).persist()
+    conv.count()
+
+    def rows(c):
+        cand = (
+            exact_candidates(conv)
+            .unionByName(lsh_candidates(conv, c, None))
+            .unionByName(substring_candidates(conv, c, None, verify_mode="instr"))
+        )
+        out = verify_candidates(cand, conv, c)
+        return {
+            (
+                r["conv_a"], r["conv_b"], r["is_match"], r["confidence"],
+                round(r["est_jaccard"], 9), r["hamming"],
+                tuple(r["match_reasons"]), r["suggested_keep"],
+            )
+            for r in out.collect()
+        }
+
+    base = rows(cfg.with_(split_hydration=False))
+    split = rows(cfg.with_(split_hydration=True))
+    conv.unpersist()
+    assert base, "vacuous: no candidate pairs"
+    assert base == split
+
+
 def test_shuffle_hash_join_in_plan(spark, turns200, cfg):
     conv = add_signatures(reconstruct_conversations(turns200), cfg)
     cand = exact_candidates(conv)

@@ -27,7 +27,12 @@ def main():
     from transcript_dedup.signatures import add_signatures
 
     spark = get_spark(
-        f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+        f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        # spark-conf override hook for physical A/Bs (e.g. TD_EXTRA_CONF=
+        # '{"spark.sql.adaptive.coalescePartitions.enabled": "false"}')
+        extra_conf=json.loads(os.environ.get("TD_EXTRA_CONF", "{}")),
     )
     # config override hook for A/B experiments (e.g. TD_CFG='{"num_perm": 96,
     # "lsh_bands": 32}') — keeps ablations on the exact pinned subprocess

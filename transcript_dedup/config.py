@@ -121,6 +121,15 @@ class DedupConfig:
     # BroadcastExchange collect per side that AQE's auto-broadcast would pay.
     # "auto" leaves the choice to Catalyst/AQE (used by the A/B ablation).
     hydration_join: str = "shuffle_hash"
+    # split the verify hydration into a light (array-free) pass for
+    # content-equal pairs plus a full-array pass for the rest — the web-
+    # scale posture when degenerate exact-duplicate cliques dominate the
+    # candidate mass (their est-Jaccard is exactly 1.0 by signature
+    # identity, so the num_perm*8-byte minhash payload never ships for
+    # them). Bit-identical output either way (test_split_hydration_bit_
+    # identical); default off — at bench scale eq pairs are only ~4% of
+    # candidates and the extra join stages cost more than the bytes save.
+    split_hydration: bool = False
     # persist the exploded band-key frame for the duration of the LSH pairs
     # job: the hot-key pre-pass otherwise recomputes the 42-term band-hash
     # explode (rows x bands) once per broadcast subtree (~3 passes total).

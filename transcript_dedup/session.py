@@ -61,7 +61,17 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partition coalescing OFF (round 4): shuffle partitions here are
+        # explicitly sized (~2x cores), so coalescing's post-stage re-plan
+        # wave buys nothing and its scheduling latency is pure overhead on
+        # small/medium stages — pinned interleaved A/B at 120k convs read
+        # T4 79.8/69.8 s (off) vs 80.4/75.2 s (on), T1 neutral (246.3 vs
+        # 242.9); round-3 pairs-phase A/B agreed (42.3 vs 44.5-48 s). With
+        # over-provisioned static partitions (e.g. the classic 2000-part
+        # cluster default) turn it back on via extra_conf. AQE itself and
+        # skew-join splitting stay ON — they are the free half of the
+        # skew story (SURVEY 4.2).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
