@@ -753,11 +753,14 @@ def _q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transcript_dedup.config import DedupConfig
     from transcript_dedup.detectors.substring import substring_candidates
+    from transcript_dedup.detectors.verify import resolve_pair_ids
     from transcript_dedup.documents import signed_records
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     conv = signed_records(docs, DedupConfig())
-    pairs = substring_candidates(conv, DedupConfig())
+    # detectors emit cid-keyed pairs; map back to the zero-padded doc ids
+    # (string order == numeric order, matching the oracle's least/greatest)
+    pairs = resolve_pair_ids(substring_candidates(conv, DedupConfig()), conv)
     return pairs.select(
         F.col("conv_a").cast("bigint").alias("doc_a"),
         F.col("conv_b").cast("bigint").alias("doc_b"),
@@ -1138,12 +1141,13 @@ def _ensure_corpus_export() -> str:
 
 def _q_transcript_decisions_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript decisions with the exact + substring detector
-    arms (the fuzzy MinHash arm's est-Jaccard gate is an engine artifact
-    DuckDB cannot recompute, so the full three-detector `transcript_decisions`
-    stays rows-only with its pytest value-hash gate vs the pure-Python
-    oracle). Everything here — reconstruction, normalization, star edges,
-    containment, connected components, the rule cascade, confidence — is
-    reproduced by the DuckDB oracle over the same exported corpus parquet."""
+    arms only — kept alongside the full three-detector `transcript_decisions`
+    (which, since round 4, has its own complete DuckDB oracle via the
+    signature export; see _transcript_decisions_oracle) as the variant whose
+    oracle needs no exported signatures. Everything here — reconstruction,
+    normalization, star edges, containment, connected components, the rule
+    cascade, confidence — is reproduced by the DuckDB oracle over the same
+    exported corpus parquet alone."""
     from pyspark.sql import functions as F
 
     from transcript_dedup.config import DedupConfig
@@ -1179,7 +1183,14 @@ def _q_transcript_decisions_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
+def _transcript_decisions_es_oracle() -> str:
+    """Exact+substring-arm DuckDB oracle with every weight/threshold
+    substituted from DedupConfig (not hardcoded), so a config change can
+    never desync the oracle from the engine silently."""
+    from transcript_dedup.config import DedupConfig
+
+    cfg = DedupConfig()
+    return f"""
     WITH t AS (SELECT * FROM read_parquet('{_CORPUS_PARQUET}')),
     conv AS (
       SELECT conv_id,
@@ -1207,12 +1218,14 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
        AND position(a.norm IN b.norm) > 0),
     pconf AS (
       SELECT p.conv_a, p.conv_b,
-             (CASE WHEN p.m_content THEN 50 ELSE 0 END)
-           + (CASE WHEN p.m_substring THEN 30 ELSE 0 END)
+             (CASE WHEN p.m_content THEN {cfg.w_exact} ELSE 0 END)
+           + (CASE WHEN p.m_substring THEN {cfg.w_fuzzy} ELSE 0 END)
            + (CASE WHEN abs(na.total_chars - nb.total_chars)
-                        <= greatest(na.total_chars, nb.total_chars) * 0.2
-                   THEN 15 ELSE 0 END)
-           + (CASE WHEN na.role_seq = nb.role_seq THEN 5 ELSE 0 END) AS conf
+                        <= greatest(na.total_chars, nb.total_chars)
+                           * {cfg.length_tolerance_frac}
+                   THEN {cfg.w_length} ELSE 0 END)
+           + (CASE WHEN na.role_seq = nb.role_seq
+                   THEN {cfg.w_meta} ELSE 0 END) AS conf
       FROM pairs p
       JOIN n na ON p.conv_a = na.conv_id
       JOIN n nb ON p.conv_b = nb.conv_id),
@@ -1260,7 +1273,7 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
                    count(*) AS size
             FROM w4 GROUP BY component_id)
     SELECT d.group_id, d.keep, d.del_ AS "delete", d.rule_applied,
-           CASE WHEN coalesce(pc.min_confidence, 0) >= 40 THEN 'auto'
+           CASE WHEN coalesce(pc.min_confidence, 0) >= {cfg.confidence_threshold} THEN 'auto'
                 ELSE 'needs_review' END AS decision_type,
            CAST(coalesce(pc.min_confidence, 0) AS bigint) AS min_confidence,
            CAST(d.size AS bigint) AS size
@@ -1270,16 +1283,24 @@ _TRANSCRIPT_DECISIONS_ES_ORACLE = f"""
 
 
 def _sigs_parquet_path() -> str:
-    """Signature-export path keyed by the signature-relevant config, so a
-    default change (e.g. the round-4 num_perm 126->96 switch) can never pair
-    a stale export with a fresh engine run."""
+    """Signature-export path keyed by a fingerprint of the FULL config plus
+    a kernel version tag, so no signature-relevant change (num_perm, width,
+    shingle_k, minhash_seed, or the kernel itself) can ever pair a stale
+    export with a fresh engine run."""
+    import hashlib
+    import json
+    from dataclasses import asdict
+
     from transcript_dedup.config import DedupConfig
+    from transcript_dedup.signatures import KERNEL_VERSION
 
     cfg = DedupConfig()
-    return (
-        f"/tmp/transcript_dedup_sigs_seed42_n200"
-        f"_p{cfg.num_perm}w{cfg.minhash_width}k{cfg.shingle_k}.parquet"
-    )
+    fp = hashlib.sha256(
+        json.dumps(
+            {"cfg": asdict(cfg), "kernel": KERNEL_VERSION}, sort_keys=True, default=str
+        ).encode()
+    ).hexdigest()[:12]
+    return f"/tmp/transcript_dedup_sigs_seed42_n200_{fp}.parquet"
 
 
 def _ensure_sig_export() -> str:
@@ -1341,13 +1362,14 @@ def _transcript_decisions_oracle() -> str:
     self-join on raw 3-element signature slices (the engine hashes the
     slice with xxhash64, so its candidate set is a superset only under a
     64-bit collision), est-Jaccard as the position-equality fraction over
-    the 126 minhash positions, and the SimHash Hamming ball as
+    the cfg.num_perm minhash positions, and the SimHash Hamming ball as
     bit_count(xor). Per-pair match flags are computed from first
     principles for the UNION of all arms' candidates — exactly verify.py's
     semantics, where m_content/m_substring/m_fuzzy are pair predicates
     independent of which detector surfaced the pair. All banding/threshold
-    constants are substituted from DedupConfig so the oracle tracks config
-    changes (e.g. the round-4 num_perm 126->96 default switch)."""
+    constants AND the confidence weights / length tolerance / auto gate are
+    substituted from DedupConfig so the oracle tracks config changes (e.g.
+    the round-4 num_perm 126->96 default switch)."""
     from transcript_dedup.config import DedupConfig
 
     cfg = DedupConfig()
@@ -1396,7 +1418,8 @@ def _transcript_decisions_oracle() -> str:
                      <= {cfg.hamming_radius})) AS m_fuzzy,
              (co.conv_a IS NOT NULL) AS m_substring,
              (abs(na.total_chars - nb.total_chars)
-                <= greatest(na.total_chars, nb.total_chars) * 0.2) AS m_length,
+                <= greatest(na.total_chars, nb.total_chars)
+                   * {cfg.length_tolerance_frac}) AS m_length,
              (na.role_seq = nb.role_seq) AS m_roles
       FROM cand c
       JOIN n na ON c.conv_a = na.conv_id
@@ -1406,11 +1429,11 @@ def _transcript_decisions_oracle() -> str:
       LEFT JOIN coll cl ON c.conv_a = cl.conv_a AND c.conv_b = cl.conv_b
       LEFT JOIN cont co ON c.conv_a = co.conv_a AND c.conv_b = co.conv_b),
     mp AS (SELECT conv_a, conv_b,
-             (CASE WHEN m_content THEN 50 ELSE 0 END)
-           + (CASE WHEN m_fuzzy THEN 30 ELSE 0 END)
-           + (CASE WHEN m_substring THEN 30 ELSE 0 END)
-           + (CASE WHEN m_length THEN 15 ELSE 0 END)
-           + (CASE WHEN m_roles THEN 5 ELSE 0 END) AS conf
+             (CASE WHEN m_content THEN {cfg.w_exact} ELSE 0 END)
+           + (CASE WHEN m_fuzzy THEN {cfg.w_fuzzy} ELSE 0 END)
+           + (CASE WHEN m_substring THEN {cfg.w_fuzzy} ELSE 0 END)
+           + (CASE WHEN m_length THEN {cfg.w_length} ELSE 0 END)
+           + (CASE WHEN m_roles THEN {cfg.w_meta} ELSE 0 END) AS conf
            FROM feat WHERE m_content OR m_fuzzy OR m_substring),
     edges AS (SELECT conv_a AS s, conv_b AS d FROM mp
               UNION SELECT conv_b, conv_a FROM mp),
@@ -1456,7 +1479,7 @@ def _transcript_decisions_oracle() -> str:
                    count(*) AS size
             FROM w4 GROUP BY component_id)
     SELECT d.group_id, d.keep, d.del_ AS "delete", d.rule_applied,
-           CASE WHEN coalesce(pc.min_confidence, 0) >= 40 THEN 'auto'
+           CASE WHEN coalesce(pc.min_confidence, 0) >= {cfg.confidence_threshold} THEN 'auto'
                 ELSE 'needs_review' END AS decision_type,
            CAST(coalesce(pc.min_confidence, 0) AS bigint) AS min_confidence,
            CAST(d.size AS bigint) AS size
@@ -1569,7 +1592,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_metadata_fixer"] = _METADATA_FIXER_ORACLE
     out["region_broadcast_rollup"] = _REGION_ROLLUP_ORACLE
     out["ann_ivf_fullprobe_topk"] = _IVF_FULLPROBE_ORACLE
-    out["transcript_decisions_es"] = _TRANSCRIPT_DECISIONS_ES_ORACLE
+    out["transcript_decisions_es"] = _transcript_decisions_es_oracle()
     out["doc_weighted_keep"] = _WEIGHTED_KEEP_ORACLE
     # full three-detector path: kernel signatures exported to parquet, all
     # downstream logic (banded LSH join, est-Jaccard, Hamming, CC, cascade)

@@ -284,7 +284,10 @@ def main() -> None:
         _one_window()
 
     eff = round(_median([w["raw"] for w in windows]), 3)
-    vs_ceiling = round(_median([w["vs_ceiling"] for w in windows]), 3)
+    # a window whose ceiling probe failed (falsy probe) carries vs_ceiling
+    # None — exclude it from the median instead of crashing sorted() on None
+    vs_vals = [w["vs_ceiling"] for w in windows if w["vs_ceiling"] is not None]
+    vs_ceiling = round(_median(vs_vals), 3) if vs_vals else None
     best = max(windows, key=lambda w: w["raw"])
 
     out = {

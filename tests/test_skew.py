@@ -102,6 +102,7 @@ def test_lsh_hot_key_prepass_predrops_100k_key(spark):
     )
     conv = spark.range(n_hot).select(
         F.format_string("h%07d", "id").alias("conv_id"),
+        F.col("id").alias("cid"),  # any injective long works as the cid
         minhash.alias("minhash"),
         F.lit(5).alias("n_shingles"),
     )
@@ -152,6 +153,7 @@ def test_substring_gramless_fallback_paths(spark, cfg):
     the min-hash raw-gram pattern probe, (b) a sub-gram-length doc via the
     short-needle contains join."""
     from transcript_dedup.detectors.substring import substring_candidates
+    from transcript_dedup.detectors.verify import resolve_pair_ids
     from transcript_dedup.documents import signed_records
     from transcript_dedup.signatures import sampled_gram_hashes
 
@@ -178,7 +180,9 @@ def test_substring_gramless_fallback_paths(spark, cfg):
     counters: dict = {}
     pairs = {
         (r["conv_a"], r["conv_b"])
-        for r in substring_candidates(conv, cfg, counters).collect()
+        for r in resolve_pair_ids(
+            substring_candidates(conv, cfg, counters), conv
+        ).collect()
     }
     a, b, o = "000000000001", "000000000002", "000000000003"
     assert (a, o) in pairs, pairs  # pattern-probe arm

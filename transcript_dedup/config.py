@@ -113,6 +113,16 @@ class DedupConfig:
     # pre-pass (tests use it for pair-set identity checks).
     band_hot_sample_mod: int = 20
 
+    # --- internal id encoding -------------------------------------------------
+    # cid = xxhash64(cid_seed, conv_id): the dictionary-encoded 8-byte id
+    # every detector keys on (signatures.add_signatures). Injectivity over
+    # the corpus is asserted per pairs job (signatures.assert_cid_unique —
+    # birthday bound ~n^2/2^65: ~5e-10 at 120k docs, ~0.03 expected
+    # collisions at 1e9). On the loud collision failure, bump this seed for
+    # an independent draw; corpora far beyond 1e9 docs should shard the
+    # dedup run (or widen cid) rather than retry seeds.
+    cid_seed: int = 0
+
     # --- physical execution ---------------------------------------------------
     # verify-stage hydration join strategy. "shuffle_hash" forces a shuffled
     # hash join of pairs against the conversation feature table — the only

@@ -9,10 +9,18 @@ est_jaccard == 1.0 — identical texts yield identical minhash arrays — so a
 verify.py m_content).
 
 Scale design: the reference's all-pairs loop would emit O(k^2) pairs per
-k-sized duplicate group. We emit **star edges** (group-min conv_id -> every
-other member) — k-1 edges — which yields the identical transitive closure
-after connected components, without the quadratic blowup. One window over a
-hash-partitioned-by-content_hash exchange; no join.
+k-sized duplicate group. We emit **star edges** (group representative ->
+every other member) — k-1 edges — which yields the identical transitive
+closure after connected components, without the quadratic blowup. One window
+over a hash-partitioned-by-content_hash exchange; no join.
+
+Ids: edges are keyed by ``cid`` (the dictionary-encoded long id,
+signatures.add_signatures) and canonically oriented by cid so the verify
+stage's pair groupBy merges this arm with the LSH/substring arms. The
+representative stays the STRING-min member (struct-min over (conv_id, cid))
+— the anchor choice is part of the external contract (the DuckDB
+transcript_decisions oracle reproduces string-min star edges), and the
+transitive closure is anchor-invariant either way.
 
 Empty documents (norm_text = '') never match — the analogue of the
 reference's null-tag rejection (checkArtistTitleMatch returns false on
@@ -26,15 +34,18 @@ from pyspark.sql import functions as F
 
 
 def exact_candidates(conv: DataFrame) -> DataFrame:
-    """conversations -> (conv_a, conv_b, src='exact') star edges."""
+    """conversations -> (conv_a, conv_b, src='exact') star edges, cid-keyed."""
     w = Window.partitionBy("content_hash")
-    nonempty = conv.filter(F.length("norm_text") > 0).select("content_hash", "conv_id")
-    rep = nonempty.withColumn("rep", F.min("conv_id").over(w))
+    nonempty = conv.filter(F.length("norm_text") > 0).select(
+        "content_hash", "conv_id", "cid"
+    )
+    # struct-min orders by conv_id first: rep = cid of the string-min member
+    rep = nonempty.withColumn("rep", F.min(F.struct("conv_id", "cid")).over(w))
     return (
-        rep.filter(F.col("conv_id") != F.col("rep"))
+        rep.filter(F.col("conv_id") != F.col("rep.conv_id"))
         .select(
-            F.col("rep").alias("conv_a"),
-            F.col("conv_id").alias("conv_b"),
+            F.least(F.col("rep.cid"), F.col("cid")).alias("conv_a"),
+            F.greatest(F.col("rep.cid"), F.col("cid")).alias("conv_b"),
             F.lit("exact").alias("src"),
         )
     )

@@ -14,7 +14,7 @@ count is quadratic; AQE can split partitions but cannot cut Cartesian
 semantics. Mitigation, by key size ``sz``:
 
   sz > band_key_drop  -> dropped entirely (stop-bands, counted + reported);
-  sz > band_key_cap   -> salted with ``pmod(xxhash64(conv_id), n_salts)``,
+  sz > band_key_cap   -> salted with ``pmod(xxhash64(cid), n_salts)``,
                          ``n_salts = min(band_salt_max, ceil(sz/cap))`` —
                          pairs only within a salt subgroup. Within-key recall
                          drops to ~1/salt for that band, but a true near-dup
@@ -43,21 +43,31 @@ from pyspark.sql import functions as F
 
 from ..config import DedupConfig
 
-# band-key frames persisted by lsh_candidates, alive until the pairs output
-# materializes; callers release them via release_key_caches() once the
-# pairs job commits (pipeline does this after the candidate_pairs snapshot)
+# default registry for band-key frames persisted by lsh_candidates, alive
+# until the pairs output materializes; callers release them via
+# release_key_caches() once the pairs job commits. Callers that may run
+# concurrently in one driver (or that must guarantee release on failure)
+# pass their OWN list via cache_registry= and release exactly that list —
+# two pipelines sharing the process-wide default would unpersist each
+# other's live caches.
 _KEY_CACHES: list[DataFrame] = []
 
 
-def release_key_caches() -> None:
-    """Unpersist every band-key frame cached by lsh_candidates. Safe to call
-    any time after the pairs output is materialized; idempotent."""
-    while _KEY_CACHES:
-        _KEY_CACHES.pop().unpersist()
+def release_key_caches(registry: list[DataFrame] | None = None) -> None:
+    """Unpersist every band-key frame in ``registry`` (default: the
+    process-wide list). Safe to call any time after the pairs output is
+    materialized; idempotent."""
+    reg = _KEY_CACHES if registry is None else registry
+    while reg:
+        reg.pop().unpersist()
 
 
 def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """conversations -> (conv_id, band_id, band_hash); empty docs skipped."""
+    """conversations -> (cid, band_id, band_hash); empty docs skipped.
+
+    cid (8-byte long) instead of the conv_id string: this frame is rows x
+    bands wide — the single biggest exchange in the whole pipeline — so the
+    per-row id bytes dominate its shuffle size."""
     # explicit per-band expressions (codegen) instead of
     # transform(sequence(...), lambda) — HigherOrderFunctions run in the
     # expression interpreter; 42 unrolled xxhash64(slice) terms compile
@@ -69,7 +79,7 @@ def band_keys(conv: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     return (
         conv.filter(F.col("n_shingles") > 0)
-        .select("conv_id", F.posexplode(bands_arr).alias("band_id", "band_hash"))
+        .select("cid", F.posexplode(bands_arr).alias("band_id", "band_hash"))
     )
 
 
@@ -77,9 +87,10 @@ def _hot_band_sizes(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Small broadcastable map (band_id, band_hash, hot_sz) of band keys the
     hash-sample estimates hot, with their EXACT sizes (> band_key_cap only).
 
-    The sample is keyed on xxhash64 of conv_id (deterministic, independent of
-    physical partitioning, decorrelated from the band salt which hashes the
-    bare conv_id). A key of size s appears ~s/mod times in the sample; the
+    The sample is keyed on a seeded xxhash64 of cid (deterministic,
+    independent of physical partitioning, decorrelated from the band salt
+    which hashes the bare cid). A key of size s appears ~s/mod times in the
+    sample; the
     candidate threshold max(2, cap/mod) flags every key at >= a few x cap
     with overwhelming probability while keeping the candidate set ~|sample| /
     threshold at worst. Candidate keys then get exact count-only aggregation
@@ -89,7 +100,7 @@ def _hot_band_sizes(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
     mod = cfg.band_hot_sample_mod
     thresh = max(2, cfg.band_key_cap // mod)
     sampled = keys.filter(
-        F.pmod(F.xxhash64(F.lit("hot-key-probe"), "conv_id"), F.lit(mod)) == 0
+        F.pmod(F.xxhash64(F.lit("hot-key-probe"), "cid"), F.lit(mod)) == 0
     )
     cand = (
         sampled.groupBy("band_id", "band_hash")
@@ -106,9 +117,14 @@ def _hot_band_sizes(keys: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def lsh_candidates(
-    conv: DataFrame, cfg: DedupConfig, counters: dict | None = None
+    conv: DataFrame,
+    cfg: DedupConfig,
+    counters: dict | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
-    """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh').
+    """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh'),
+    cid-keyed (pairs canonically oriented by cid; the verify stage restores
+    conv_id strings at its output).
 
     ONE row-level shuffle: band keys are grouped once (collect_list of
     members per key x salt subgroup) and candidate pairs are generated
@@ -144,7 +160,7 @@ def lsh_candidates(
         from pyspark import StorageLevel
 
         keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
-        _KEY_CACHES.append(keys)
+        (_KEY_CACHES if cache_registry is None else cache_registry).append(keys)
     on = ["band_id", "band_hash"]
 
     if cfg.band_hot_sample_mod > 0:
@@ -163,11 +179,11 @@ def lsh_candidates(
         F.lit(cfg.band_salt_max), F.ceil(F.col("hot_sz") / F.lit(cfg.band_key_cap))
     )
     presalt = F.when(
-        F.col("hot_sz").isNotNull(), F.pmod(F.xxhash64("conv_id"), n_salts_pre)
+        F.col("hot_sz").isNotNull(), F.pmod(F.xxhash64("cid"), n_salts_pre)
     ).otherwise(F.lit(0))
 
     groups = live.groupBy("band_id", "band_hash", presalt.alias("psalt")).agg(
-        F.collect_list("conv_id").alias("m"),
+        F.collect_list("cid").alias("m"),
         F.first("hot_sz").alias("hot_sz"),
     )
     sz = F.size("m")

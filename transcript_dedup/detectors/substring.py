@@ -53,7 +53,9 @@ def _gram_pairs(
     per pairs job even without a persist.
     """
     nonempty = conv.filter(F.length("norm_text") > 0)
-    grams = nonempty.select("conv_id", F.explode("sub_grams").alias("gram"))
+    # cid keys: the gram explode is this detector's widest exchange, and the
+    # blocking join below shuffles it again — 8-byte longs, not id strings
+    grams = nonempty.select("cid", F.explode("sub_grams").alias("gram"))
     sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
     if counters is not None:
         stats = sizes.agg(
@@ -71,23 +73,23 @@ def _gram_pairs(
     # inner gram, so the inner doc only needs to probe with its single
     # rarest (min-df) gram — join fan-out is df(rarest gram) per doc, never
     # quadratic in a gram's document frequency.
-    rarest = joined.groupBy("conv_id").agg(
+    rarest = joined.groupBy("cid").agg(
         F.min(F.struct("df", "gram")).alias("m")
     ).select(
-        "conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram")
+        "cid", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram")
     ).persist()
     inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf)
     # docs whose grams were ALL stop-listed: min_df over every gram > maxdf
     all_stopped = rarest.filter(F.col("min_df") > cfg.substring_gram_maxdf).select(
-        "conv_id"
+        "cid"
     )
     pairs = (
         inner_keys.alias("a")
-        .join(kept.select("conv_id", "gram").alias("b"), "gram")
-        .filter(F.col("a.conv_id") != F.col("b.conv_id"))
+        .join(kept.select("cid", "gram").alias("b"), "gram")
+        .filter(F.col("a.cid") != F.col("b.cid"))
         .select(
-            F.least("a.conv_id", "b.conv_id").alias("conv_a"),
-            F.greatest("a.conv_id", "b.conv_id").alias("conv_b"),
+            F.least("a.cid", "b.cid").alias("conv_a"),
+            F.greatest("a.cid", "b.cid").alias("conv_b"),
         )
         .distinct()
     )
@@ -130,12 +132,12 @@ def _tiny_pairs(
     spark = conv.sparkSession
     gramless = conv.filter(
         (F.length("norm_text") > 0) & (F.size("sub_grams") == 0)
-    ).select("conv_id")
+    ).select("cid")
     tiny = (
         gramless.unionByName(tiny_ids)
         .distinct()
-        .join(conv.select("conv_id", "norm_text"), "conv_id")
-        .select(F.col("conv_id").alias("t_id"), F.col("norm_text").alias("t_text"))
+        .join(conv.select("cid", "norm_text"), "cid")
+        .select(F.col("cid").alias("t_id"), F.col("norm_text").alias("t_text"))
     )
     rows = tiny.take(cfg.substring_tiny_cap + 1)
     if len(rows) > cfg.substring_tiny_cap:
@@ -147,7 +149,7 @@ def _tiny_pairs(
         )
     if counters is not None:
         counters["substring_tiny_docs"] = len(rows)
-    empty = spark.createDataFrame([], "conv_a string, conv_b string")
+    empty = spark.createDataFrame([], "conv_a long, conv_b long")
     if not rows:
         return empty
 
@@ -174,7 +176,7 @@ def _tiny_pairs(
         ]
         pat_arr = np.unique(np.array([h for _, h in patterns], dtype=np.int64))
         pat_df = F.broadcast(
-            spark.createDataFrame(patterns, "t_id string, gh long")
+            spark.createDataFrame(patterns, "t_id long, gh long")
         )
 
         def probe(batches):
@@ -182,17 +184,22 @@ def _tiny_pairs(
 
             for pdf in batches:
                 oids, ghs = [], []
-                for o_id, text in zip(pdf["conv_id"], pdf["norm_text"]):
+                for o_id, text in zip(pdf["cid"], pdf["norm_text"]):
                     gh = sampled_gram_hashes(text, k, 1).view(np.int64)
                     hit = gh[np.isin(gh, pat_arr)]
                     oids.extend([o_id] * hit.size)
                     ghs.extend(hit.tolist())
-                yield pd.DataFrame({"o_id": oids, "gh": pd.array(ghs, dtype="int64")})
+                yield pd.DataFrame(
+                    {
+                        "o_id": pd.array(oids, dtype="int64"),
+                        "gh": pd.array(ghs, dtype="int64"),
+                    }
+                )
 
         matches = (
             conv.filter(F.length("norm_text") >= k)
-            .select("conv_id", "norm_text")
-            .mapInPandas(probe, schema="o_id string, gh long")
+            .select("cid", "norm_text")
+            .mapInPandas(probe, schema="o_id long, gh long")
         )
         out = (
             matches.join(pat_df, "gh")
@@ -205,10 +212,10 @@ def _tiny_pairs(
         )
     if short_rows:
         shorts = F.broadcast(
-            spark.createDataFrame(short_rows, "t_id string, t_text string")
+            spark.createDataFrame(short_rows, "t_id long, t_text string")
         )
         others = conv.filter(F.length("norm_text") > 0).select(
-            F.col("conv_id").alias("o_id"), F.col("norm_text").alias("o_text")
+            F.col("cid").alias("o_id"), F.col("norm_text").alias("o_text")
         )
         short_pairs = (
             others.join(shorts, F.expr("instr(o_text, t_text) > 0"), "inner")
@@ -235,7 +242,7 @@ def _verify_suffix_array(cand: DataFrame) -> DataFrame:
     """Suffix-array verification kernel, one SA per outer doc group."""
     from ..suffix_array import build_suffix_array, sa_contains
 
-    schema = "out_id string, in_id string"
+    schema = "out_id long, in_id long"
 
     def verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
         data = pdf["text_out"].iloc[0].encode("utf-8")
@@ -260,7 +267,9 @@ def substring_candidates(
     counters: dict | None = None,
     verify_mode: str = "suffix_array",
 ) -> DataFrame:
-    """conversations -> (conv_a, conv_b, src='substring') containment edges."""
+    """conversations -> (conv_a, conv_b, src='substring') containment edges,
+    cid-keyed (pairs canonically oriented by cid; consumers of the bare
+    output map back via verify.resolve_pair_ids)."""
     gram_pairs, all_stopped = _gram_pairs(conv, cfg, counters)
     raw = gram_pairs.unionByName(_tiny_pairs(conv, all_stopped, cfg, counters)).distinct()
     verified = hydrate_and_verify(raw, conv, verify_mode)
@@ -273,17 +282,18 @@ def substring_candidates(
 def hydrate_and_verify(
     raw: DataFrame, conv: DataFrame, verify_mode: str = "suffix_array"
 ) -> DataFrame:
-    """Candidate (conv_a, conv_b) pairs -> containment-verified pairs.
+    """Candidate (conv_a, conv_b) cid pairs -> containment-verified pairs.
 
-    Hydrates both texts, orients inner = shorter / outer = longer (equal
-    lengths are the exact detector's job), and verifies with the suffix-array
-    kernel or the pure-JVM ``instr`` twin. Shared by the batch detector above
-    and the streaming incremental arm (streaming._incremental_substring)."""
-    texts = conv.select("conv_id", "norm_text", F.length("norm_text").alias("len"))
+    Hydrates both texts (by cid), orients inner = shorter / outer = longer
+    (equal lengths are the exact detector's job), and verifies with the
+    suffix-array kernel or the pure-JVM ``instr`` twin. Shared by the batch
+    detector above and the streaming incremental arm
+    (streaming._incremental_substring)."""
+    texts = conv.select("cid", "norm_text", F.length("norm_text").alias("len"))
     hyd = (
         raw.join(
             texts.select(
-                F.col("conv_id").alias("conv_a"),
+                F.col("cid").alias("conv_a"),
                 F.col("norm_text").alias("text_a"),
                 F.col("len").alias("len_a"),
             ),
@@ -291,7 +301,7 @@ def hydrate_and_verify(
         )
         .join(
             texts.select(
-                F.col("conv_id").alias("conv_b"),
+                F.col("cid").alias("conv_b"),
                 F.col("norm_text").alias("text_b"),
                 F.col("len").alias("len_b"),
             ),

@@ -48,14 +48,42 @@ def quality_score(prefix: str = "") -> F.Column:
     )
 
 
+def resolve_pair_ids(
+    pairs: DataFrame, conv: DataFrame, cols: tuple[str, str] = ("conv_a", "conv_b")
+) -> DataFrame:
+    """Map a raw detector pair frame (cid longs) back to conv_id strings,
+    re-orienting by string order — for consumers of bare detector output
+    (verify_candidates does this itself via its hydration payload)."""
+    ids = conv.select("cid", "conv_id")
+    a, b = cols
+    out = (
+        pairs.join(ids.toDF("cid", "_ida"), pairs[a] == F.col("cid"))
+        .drop("cid", a)
+        .join(ids.toDF("cid", "_idb"), pairs[b] == F.col("cid"))
+        .drop("cid", b)
+    )
+    rest = [c for c in out.columns if c not in ("_ida", "_idb")]
+    return out.select(
+        F.least("_ida", "_idb").alias(a), F.greatest("_ida", "_idb").alias(b), *rest
+    )
+
+
 def verify_candidates(
     candidates: DataFrame, conv: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
-    """candidates(conv_a, conv_b, src) + conversations -> candidate_pairs.
+    """candidates(conv_a, conv_b, src — cid longs) + conversations ->
+    candidate_pairs.
 
-    Output: conv_a, conv_b, is_match, confidence int, match_reasons
-    array<string>, suggested_keep, est_jaccard, hamming.
+    Output (external string surface — ids restored from the hydration
+    payload, pairs re-oriented by conv_id string order): conv_a, conv_b,
+    is_match, confidence int, match_reasons array<string>, suggested_keep,
+    est_jaccard, hamming.
     """
+    # candidates arrive keyed by cid (the dictionary-encoded long id —
+    # signatures.add_signatures): the groupBy below and both hydration joins
+    # run on primitive longs; conv_id strings re-enter only as hydration
+    # payload and the output restores string ids + string-ordered pair
+    # orientation, so downstream consumers see exactly the pre-cid surface.
     # detector memberships as a bitmask folded with bit_or: a primitive
     # codegen aggregate instead of collect_set's ObjectHashAggregate (the
     # set-of-strings version measured 186 core-s over ~2M candidate rows)
@@ -85,8 +113,10 @@ def verify_candidates(
     # role_seq is compared ONLY for equality, so ship its 64-bit hash
     # instead of the O(turns)-byte string (collision => a spurious +5
     # confidence, P ~ 2^-64 per pair — far below the content-hash arm's
-    # own collision floor).
+    # own collision floor). cid leads (join key); conv_id rides as payload
+    # only so the output can restore string ids.
     light_cols = [
+        F.col("cid"),
         F.col("conv_id"),
         F.col("content_hash"),
         F.col("simhash"),
@@ -97,8 +127,8 @@ def verify_candidates(
     ]
 
     _scored_cols = lambda: [  # noqa: E731 — shared projection of both paths
-        "conv_a",
-        "conv_b",
+        "a_conv_id",
+        "b_conv_id",
         "src_mask",
         "est_jaccard",
         F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))).alias("hamming"),
@@ -133,9 +163,9 @@ def verify_candidates(
         a = _hinted(feats.toDF(*[f"a_{c}" for c in feats.columns]))
         b = _hinted(feats.toDF(*[f"b_{c}" for c in feats.columns]))
         hyd = (
-            srcs.join(a, srcs.conv_a == a.a_conv_id)
-            .join(b, srcs.conv_b == b.b_conv_id)
-            .drop("a_conv_id", "b_conv_id")
+            srcs.join(a, srcs.conv_a == a.a_cid)
+            .join(b, srcs.conv_b == b.b_cid)
+            .drop("a_cid", "b_cid")
         )
         scored = hyd.withColumn("est_jaccard", _est_j()).select(_scored_cols())
     else:
@@ -161,9 +191,9 @@ def verify_candidates(
         a = _hinted(light.toDF(*[f"a_{c}" for c in light.columns]))
         b = _hinted(light.toDF(*[f"b_{c}" for c in light.columns]))
         hyd = (
-            srcs.join(a, srcs.conv_a == a.a_conv_id)
-            .join(b, srcs.conv_b == b.b_conv_id)
-            .drop("a_conv_id", "b_conv_id")
+            srcs.join(a, srcs.conv_a == a.a_cid)
+            .join(b, srcs.conv_b == b.b_cid)
+            .drop("a_cid", "b_cid")
         )
         eq = (F.col("a_content_hash") == F.col("b_content_hash")) & (
             F.col("a_sig_key") == F.col("b_sig_key")
@@ -173,14 +203,14 @@ def verify_candidates(
             .withColumn("est_jaccard", F.lit(1.0))
             .select(_scored_cols())
         )
-        heavy = conv.select("conv_id", "minhash")
-        ha = _hinted(heavy.toDF("ha_conv_id", "a_minhash"))
-        hb = _hinted(heavy.toDF("hb_conv_id", "b_minhash"))
+        heavy = conv.select("cid", "minhash")
+        ha = _hinted(heavy.toDF("ha_cid", "a_minhash"))
+        hb = _hinted(heavy.toDF("hb_cid", "b_minhash"))
         neq_scored = (
             hyd.filter(~eq)
-            .join(ha, F.col("conv_a") == F.col("ha_conv_id"))
-            .join(hb, F.col("conv_b") == F.col("hb_conv_id"))
-            .drop("ha_conv_id", "hb_conv_id")
+            .join(ha, F.col("conv_a") == F.col("ha_cid"))
+            .join(hb, F.col("conv_b") == F.col("hb_cid"))
+            .drop("ha_cid", "hb_cid")
             .withColumn("est_jaccard", _est_j())
             .select(_scored_cols())
         )
@@ -201,9 +231,12 @@ def verify_candidates(
     ).withColumn("m_substring", F.col("src_mask").bitwiseAND(4) != 0)
 
     w = cfg
+    # restore the external (string) surface: pairs oriented by conv_id
+    # string order — exactly the pre-cid contract — regardless of the
+    # internal cid orientation the detectors emitted
     out = scored.select(
-        "conv_a",
-        "conv_b",
+        F.least("a_conv_id", "b_conv_id").alias("conv_a"),
+        F.greatest("a_conv_id", "b_conv_id").alias("conv_b"),
         "est_jaccard",
         "hamming",
         (F.col("m_content") | F.col("m_fuzzy") | F.col("m_substring")).alias("is_match"),
@@ -224,10 +257,12 @@ def verify_candidates(
             ),
             lambda x: x.isNotNull(),
         ).alias("match_reasons"),
-        # strict > : conv_a keeps ties (reference keeps first-seen,
-        # duplicates.ts:216-221)
-        F.when(F.col("b_q") > F.col("a_q"), F.col("conv_b"))
-        .otherwise(F.col("conv_a"))
+        # strictly greater quality wins; ties keep the string-min side (the
+        # reference keeps first-seen, duplicates.ts:216-221 — identical to
+        # the pre-cid "conv_a keeps ties" since conv_a was the string-min)
+        F.when(F.col("a_q") > F.col("b_q"), F.col("a_conv_id"))
+        .when(F.col("b_q") > F.col("a_q"), F.col("b_conv_id"))
+        .otherwise(F.least("a_conv_id", "b_conv_id"))
         .alias("suggested_keep"),
     )
     return out

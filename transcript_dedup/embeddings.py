@@ -159,6 +159,16 @@ def ann_lsh_topk(
     )
 
 
+#: fixed-point quantum for the k-means update accumulation: per-component
+#: contributions are floor(v * 2^20) int64s, so the distributed sum is EXACT
+#: integer arithmetic — order-independent across partitionings/AQE — and the
+#: resulting centroids are bit-reproducible run-to-run and bit-identical to
+#: the pure-numpy mirror (ivf_probe_artifacts_numpy). The 2^-20 quantization
+#: of the *mean* is far below any component noise floor; overflow bound:
+#: |v| <= 1e3 and 1e10 rows/cluster stay under 2^63.
+_KMEANS_SCALE = float(1 << 20)
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -171,8 +181,13 @@ def kmeans_centroids(
     Assignment is a vectorized Arrow kernel (batch matrix multiply against
     the broadcast centroids); the update step is one groupBy over
     (cluster, position) partial sums — both scale as single shuffles per
-    iteration. Deterministic: initial centroids are seeded RNG draws
-    (``np.random.default_rng(seed)``), and argmax ties break by index."""
+    iteration. DETERMINISTIC end-to-end: initial centroids are seeded RNG
+    draws (``np.random.default_rng(seed)``), argmax ties break by index,
+    and the update accumulates in exact fixed-point int64 (_KMEANS_SCALE)
+    so floating-point partial-sum ORDER — which varies with partitioning —
+    cannot perturb the centroids. Two runs of the same input produce
+    bit-identical centroids on any cluster layout, which is what lets the
+    driver's DuckDB oracle consume exported probe artifacts."""
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         raise ValueError("kmeans_centroids: vectors DataFrame is empty")
@@ -184,21 +199,29 @@ def kmeans_centroids(
     for _ in range(n_iters):
         assigned = with_assignment(vectors, cents, vec_col)
         # update: per-cluster mean via explode -> (cluster, pos) partial sums
+        # in exact int64 fixed point (see _KMEANS_SCALE)
         sums = (
             assigned.select("_cluster", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("_cluster", "pos")
-            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("v").cast("double") * F.lit(_KMEANS_SCALE)).cast(
+                        "long"
+                    )
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new = cents.copy()
-        acc = np.zeros((n_clusters, dim))
+        acc = np.zeros((n_clusters, dim), dtype=np.int64)
         cnt = np.zeros(n_clusters)
         for r in sums:
             acc[r["_cluster"], r["pos"]] = r["s"]
             cnt[r["_cluster"]] = r["n"]
         for c in range(n_clusters):
             if cnt[c] > 0:
-                new[c] = acc[c] / cnt[c]
+                new[c] = acc[c].astype(np.float64) / (_KMEANS_SCALE * cnt[c])
         cents = new
     return cents
 
@@ -220,6 +243,57 @@ def with_assignment(
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     return vectors.withColumn("_cluster", assign(F.col(vec_col)))
+
+
+def ivf_probe_artifacts_numpy(
+    mat: np.ndarray,
+    qmat: np.ndarray,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    seed: int = 11,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy mirror of the kmeans_centroids -> with_assignment ->
+    probe_clusters chain: (per-vector cluster assignments int32, per-query
+    (nq, n_probe) probe lists int32).
+
+    Bit-identical to the Spark path by construction: the distributed update
+    step accumulates floor(v * _KMEANS_SCALE) in exact int64 arithmetic
+    (order-independent, so partitioning cannot perturb it), and every float
+    step here is the same numpy expression the Arrow kernels execute on the
+    same float64 inputs. Pinned by
+    tests/test_embeddings.py::test_ivf_numpy_mirror_matches_spark; consumed
+    by the driver's partial-probe DuckDB oracle export."""
+    mat = np.asarray(mat, dtype=np.float64)
+    qmat = np.asarray(qmat, dtype=np.float64)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    unit = mat / norms
+    q_int = np.floor(mat * _KMEANS_SCALE).astype(np.int64)
+    for _ in range(n_iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(unit @ cn.T, axis=1)
+        new = cents.copy()
+        for c in range(n_clusters):
+            m = assign == c
+            n = int(m.sum())
+            if n > 0:
+                new[c] = q_int[m].sum(axis=0).astype(np.float64) / (
+                    _KMEANS_SCALE * n
+                )
+        cents = new
+
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    assignments = np.argmax(unit @ cn.T, axis=1).astype("int32")
+    qnorms = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-((qmat / qnorms) @ cn.T), axis=1)[:, :n_probe].astype(
+        "int32"
+    )
+    return assignments, probes
 
 
 def ann_ivf_topk(

@@ -38,7 +38,7 @@ from .detectors import (
 from .io import TableIO
 from .metrics import MetricsLog, StageTimer, partition_counts
 from .reconstruct import reconstruct_conversations
-from .signatures import add_signatures
+from .signatures import KERNEL_VERSION, add_signatures, assert_cid_unique
 
 
 def _fp(*parts) -> str:
@@ -57,7 +57,13 @@ class DedupPipeline:
         self.cfg = cfg or DedupConfig()
         self.io = TableIO(out_dir)
         self.metrics = MetricsLog(self.io, run_id)
-        self.cfg_fp = _fp(json.dumps(asdict(self.cfg), sort_keys=True, default=str))
+        # KERNEL_VERSION in the fingerprint: a signature-kernel or conv-schema
+        # change invalidates committed snapshots even when the config is
+        # unchanged (a pre-change conversations snapshot would otherwise be
+        # resumed with the wrong schema/signatures)
+        self.cfg_fp = _fp(
+            json.dumps(asdict(self.cfg), sort_keys=True, default=str), KERNEL_VERSION
+        )
 
     # ------------------------------------------------------------------
     def _stage(self, name: str, fingerprint: str, build, rows_in, resume: bool):
@@ -109,10 +115,21 @@ class DedupPipeline:
         # conv row count comes from the committed snapshot manifest — no job
         n_conv = self.io.current_snapshot("conversations")["rows"]
 
+        # per-run cache registry: concurrent pipelines in one driver must not
+        # release each other's live band-key caches, and a failed run must
+        # not leak its own (finally below)
+        key_caches: list[DataFrame] = []
+
         def build_pairs(counters):
+            # id contract first: every detector keys on cid, so a (loud)
+            # birthday collision must abort before any pair is emitted. Runs
+            # only when the stage builds — a fully-resumed run stays scanless.
+            counters["n_conv_cid_checked"] = assert_cid_unique(conv)
             cand = (
                 exact_candidates(conv)
-                .unionByName(lsh_candidates(conv, cfg, counters))
+                .unionByName(
+                    lsh_candidates(conv, cfg, counters, cache_registry=key_caches)
+                )
                 .unionByName(
                     substring_candidates(
                         conv, cfg, counters, verify_mode=substring_verify_mode
@@ -122,11 +139,14 @@ class DedupPipeline:
             return verify_candidates(cand, conv, cfg)
 
         fp_pairs = _fp("candidate_pairs", fp_conv, snap_conv)
-        pairs, snap_pairs = self._stage(
-            "candidate_pairs", fp_pairs, build_pairs, n_conv, resume
-        )
-        # the pairs snapshot is committed — the LSH band-key cache is dead
-        release_key_caches()
+        try:
+            pairs, snap_pairs = self._stage(
+                "candidate_pairs", fp_pairs, build_pairs, n_conv, resume
+            )
+        finally:
+            # the pairs snapshot is committed (or the stage failed) — this
+            # run's LSH band-key cache is dead either way
+            release_key_caches(key_caches)
 
         fp_comp = _fp("components", fp_pairs, snap_pairs)
         comps, snap_comp = self._stage(
@@ -178,11 +198,14 @@ def run_dedup_dataframes(
         conv = conv.persist()
     # materialize the cache NOW: the pairs job fans conv out into many
     # concurrent AQE query-stages, and racing past an unpopulated cache
-    # recomputes the signature kernel once per racing stage (measured)
-    conv.count()
+    # recomputes the signature kernel once per racing stage (measured).
+    # The action doubles as the cid-injectivity guard (loud abort on an
+    # xxhash64 birthday collision — remediation: bump cfg.cid_seed).
+    assert_cid_unique(conv)
+    key_caches: list = []
     cand = (
         exact_candidates(conv)
-        .unionByName(lsh_candidates(conv, cfg, counters))
+        .unionByName(lsh_candidates(conv, cfg, counters, cache_registry=key_caches))
         .unionByName(
             substring_candidates(conv, cfg, counters, verify_mode=substring_verify_mode)
         )
@@ -192,8 +215,10 @@ def run_dedup_dataframes(
     # eager count materializes the cache (same AQE-race rationale as conv)
     # and lets the LSH band-key cache be released immediately after
     pairs = verify_candidates(cand, conv, cfg).persist()
-    pairs.count()
-    release_key_caches()
+    try:
+        pairs.count()
+    finally:
+        release_key_caches(key_caches)
     comps = connected_components(pairs.filter("is_match"), cfg, counters)
     decisions = make_decisions(comps, conv, pairs, cfg)
     return {"candidate_pairs": pairs, "components": comps, "decisions": decisions}

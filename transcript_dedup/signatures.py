@@ -33,6 +33,14 @@ from .normalize import tokens_py
 
 _U64 = np.uint64
 
+#: bump on any change to the hashing scheme itself (shingle hash, permutation
+#: family, SimHash votes) OR to add_signatures' output schema — cache keys /
+#: snapshot fingerprints derived from the config alone (the driver oracle's
+#: signature export, the pipeline's stage fingerprints) also key on this, so
+#: a kernel or schema edit can never silently reuse signatures computed by an
+#: older kernel. v2: cid (dictionary-encoded long id) added to the schema.
+KERNEL_VERSION = 2
+
 
 def minhash_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) arrays of shape (num_perm,), odd multipliers, seeded."""
@@ -478,4 +486,40 @@ def add_signatures(conv_df, cfg: DedupConfig):
             pdf["sub_grams"] = grams
             yield pdf
 
-    return conv_df.mapInPandas(kernel, schema=out_schema)
+    # cid: dictionary-encoded conversation id. The ~9-24-byte conv_id string
+    # rides through every hot pairs-phase exchange (band-key explode, gram
+    # explode, map-side pair structs, the srcs groupBy, both hydration join
+    # keys); a deterministic 8-byte xxhash64 cuts those rows by 1/3-1/2 and
+    # makes every join/group key a primitive long (cheaper hash + compare).
+    # Deterministic => recompute-safe under cache eviction and resume, unlike
+    # monotonically_increasing_id. Injectivity is asserted per pairs job
+    # (assert_cid_unique below; remediation = bump cfg.cid_seed);
+    # detectors work on cid only, and verify_candidates restores the string
+    # ids (and string-ordered pair orientation) at the pairs output, so the
+    # external surface is bit-identical to the string implementation.
+    from pyspark.sql import functions as F
+
+    return conv_df.mapInPandas(kernel, schema=out_schema).withColumn(
+        "cid", F.xxhash64(F.lit(int(cfg.cid_seed)), "conv_id")
+    )
+
+
+def assert_cid_unique(conv) -> int:
+    """One cheap count-vs-count_distinct aggregation proving cid is
+    injective over this corpus (no xxhash64 birthday collision — expected
+    collisions ~ n^2/2^65, see config.cid_seed). Doubles as the cache
+    materialization barrier for a persisted conv frame: any action populates
+    the cache, and this one also validates the id contract every detector
+    relies on. Returns the corpus row count."""
+    from pyspark.sql import functions as F
+
+    r = conv.agg(
+        F.count("*").alias("n"), F.count_distinct("cid").alias("d")
+    ).collect()[0]
+    if r["n"] != r["d"]:
+        raise AssertionError(
+            f"cid (xxhash64) collision: {r['n']} conversations -> {r['d']} "
+            "distinct cids. Re-run with a different DedupConfig.cid_seed; "
+            "for corpora far beyond 1e9 docs, shard the dedup run instead."
+        )
+    return int(r["n"])

@@ -48,13 +48,14 @@ TURNS_SCHEMA = (
 
 
 def _incremental_candidates(new: DataFrame, all_: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Candidates touching at least one NEW conversation (new-vs-all)."""
+    """Candidates touching at least one NEW conversation (new-vs-all),
+    cid-keyed like the batch detectors (verify restores string ids)."""
     # exact: new hashes probe all hashes
     nh = new.filter(F.length("norm_text") > 0).select(
-        F.col("conv_id").alias("n_id"), "content_hash"
+        F.col("cid").alias("n_id"), "content_hash"
     )
     ah = all_.filter(F.length("norm_text") > 0).select(
-        F.col("conv_id").alias("a_id"), "content_hash"
+        F.col("cid").alias("a_id"), "content_hash"
     )
     exact = (
         nh.join(ah, "content_hash")
@@ -66,8 +67,8 @@ def _incremental_candidates(new: DataFrame, all_: DataFrame, cfg: DedupConfig) -
         )
     )
     # LSH: band keys of new probe band keys of all
-    nb = band_keys(new, cfg).withColumnRenamed("conv_id", "n_id")
-    ab = band_keys(all_, cfg).withColumnRenamed("conv_id", "a_id")
+    nb = band_keys(new, cfg).withColumnRenamed("cid", "n_id")
+    ab = band_keys(all_, cfg).withColumnRenamed("cid", "a_id")
     lsh = (
         nb.join(ab, ["band_id", "band_hash"])
         .filter(F.col("n_id") != F.col("a_id"))
@@ -106,49 +107,49 @@ def _incremental_substring(new: DataFrame, all_: DataFrame, cfg: DedupConfig) ->
     from .detectors.substring import _tiny_pairs, hydrate_and_verify
 
     nonempty = all_.filter(F.length("norm_text") > 0)
-    grams = nonempty.select("conv_id", F.explode("sub_grams").alias("gram"))
+    grams = nonempty.select("cid", F.explode("sub_grams").alias("gram"))
     sizes = grams.groupBy("gram").agg(F.count("*").alias("df"))
     joined = grams.join(sizes, "gram")
     kept = joined.filter(F.col("df") <= cfg.substring_gram_maxdf).select(
-        "conv_id", "gram"
+        "cid", "gram"
     )
     rarest = (
-        joined.groupBy("conv_id")
+        joined.groupBy("cid")
         .agg(F.min(F.struct("df", "gram")).alias("m"))
-        .select("conv_id", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram"))
+        .select("cid", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram"))
     )
     inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf).select(
-        "conv_id", "gram"
+        "cid", "gram"
     )
-    new_ids = new.select("conv_id").distinct()
+    new_ids = new.select("cid").distinct()
 
-    def only_new(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    def only_new(df: DataFrame, key: str = "cid") -> DataFrame:
         return df.join(
-            F.broadcast(new_ids.withColumnRenamed("conv_id", key)), key, "left_semi"
+            F.broadcast(new_ids.withColumnRenamed("cid", key)), key, "left_semi"
         )
 
     def pairs_of(inner: DataFrame, outer: DataFrame) -> DataFrame:
         return (
             inner.alias("a")
             .join(outer.alias("b"), "gram")
-            .filter(F.col("a.conv_id") != F.col("b.conv_id"))
+            .filter(F.col("a.cid") != F.col("b.cid"))
             .select(
-                F.least("a.conv_id", "b.conv_id").alias("conv_a"),
-                F.greatest("a.conv_id", "b.conv_id").alias("conv_b"),
+                F.least("a.cid", "b.cid").alias("conv_a"),
+                F.greatest("a.cid", "b.cid").alias("conv_b"),
             )
         )
 
     p_new_inner = pairs_of(only_new(inner_keys), kept)
     p_new_outer = pairs_of(inner_keys, only_new(kept))
     all_stopped = rarest.filter(F.col("min_df") > cfg.substring_gram_maxdf).select(
-        "conv_id"
+        "cid"
     )
     tiny = _tiny_pairs(all_, all_stopped, cfg, None)
     tiny_new = (
-        tiny.join(F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_a")), "conv_a", "left_semi")
+        tiny.join(F.broadcast(new_ids.withColumnRenamed("cid", "conv_a")), "conv_a", "left_semi")
         .unionByName(
             tiny.join(
-                F.broadcast(new_ids.withColumnRenamed("conv_id", "conv_b")), "conv_b", "left_semi"
+                F.broadcast(new_ids.withColumnRenamed("cid", "conv_b")), "conv_b", "left_semi"
             )
         )
     )
