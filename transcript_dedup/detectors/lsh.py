@@ -14,7 +14,7 @@ count is quadratic; AQE can split partitions but cannot cut Cartesian
 semantics. Mitigation, by key size ``sz``:
 
   sz > band_key_drop  -> dropped entirely (stop-bands, counted + reported);
-  sz > band_key_cap   -> salted with ``pmod(xxhash64(cid), n_salts)``,
+  sz > band_key_cap   -> salted with ``pmod(cid, n_salts)``,
                          ``n_salts = min(band_salt_max, ceil(sz/cap))`` —
                          pairs only within a salt subgroup. Within-key recall
                          drops to ~1/salt for that band, but a true near-dup
@@ -178,8 +178,11 @@ def lsh_candidates(
     n_salts_pre = F.least(
         F.lit(cfg.band_salt_max), F.ceil(F.col("hot_sz") / F.lit(cfg.band_key_cap))
     )
+    # salt = pmod(cid, n): cid IS xxhash64(conv_id) (signatures.py), so this
+    # equals the pre-cid pmod(xxhash64(conv_id), n) salt bit-for-bit — the
+    # pair set is unchanged by the id encoding — and costs no extra hash
     presalt = F.when(
-        F.col("hot_sz").isNotNull(), F.pmod(F.xxhash64("cid"), n_salts_pre)
+        F.col("hot_sz").isNotNull(), F.pmod(F.col("cid"), n_salts_pre)
     ).otherwise(F.lit(0))
 
     groups = live.groupBy("band_id", "band_hash", presalt.alias("psalt")).agg(
@@ -225,8 +228,9 @@ def lsh_candidates(
     n_salts = F.least(F.lit(cfg.band_salt_max), F.ceil(sz / F.lit(cfg.band_key_cap)))
 
     def salt(x):
+        # pmod(cid, n) — same bit-compat rationale as the pre-salt above
         return F.when(
-            ~is_pre & (sz > cfg.band_key_cap), F.pmod(F.xxhash64(x), n_salts)
+            ~is_pre & (sz > cfg.band_key_cap), F.pmod(x, n_salts)
         ).otherwise(F.lit(0))
 
     pair_structs = F.flatten(

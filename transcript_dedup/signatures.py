@@ -499,9 +499,17 @@ def add_signatures(conv_df, cfg: DedupConfig):
     # external surface is bit-identical to the string implementation.
     from pyspark.sql import functions as F
 
-    return conv_df.mapInPandas(kernel, schema=out_schema).withColumn(
-        "cid", F.xxhash64(F.lit(int(cfg.cid_seed)), "conv_id")
+    # seed 0 (default) is the bare xxhash64 — chosen so pmod(cid, n) equals
+    # the pre-cid engine's salt pmod(xxhash64(conv_id), n) bit-for-bit (the
+    # LSH hot-key salt subgrouping, lsh.py), keeping the emitted pair set
+    # identical to the string implementation; a nonzero seed prefixes the
+    # hash input (the collision escape hatch, config.cid_seed)
+    cid_col = (
+        F.xxhash64("conv_id")
+        if int(cfg.cid_seed) == 0
+        else F.xxhash64(F.lit(int(cfg.cid_seed)), "conv_id")
     )
+    return conv_df.mapInPandas(kernel, schema=out_schema).withColumn("cid", cid_col)
 
 
 def assert_cid_unique(conv) -> int:
