@@ -1072,9 +1072,11 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 10, seed: 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + inverted-list
-    probe + exact cosine verify (rows-only: the iterative quantizer is not
-    SQL-expressible; tests assert full-probe == brute force exactly and a
-    partial-probe recall floor)."""
+    probe + exact cosine verify. Hash-matched against a DuckDB oracle that
+    consumes the exported quantizer artifacts (_ann_ivf_topk_oracle) — the
+    fixed-point k-means update makes the quantizer bit-reproducible, so the
+    export is exactly what this query computes; tests additionally pin
+    full-probe == brute force and a partial-probe recall floor."""
     from transcript_dedup.embeddings import ann_ivf_topk
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1112,6 +1114,110 @@ _IVF_FULLPROBE_ORACLE = """
     SELECT qid, vec_id AS neighbor, round(cosine, 6) AS cosine, rn AS rank
     FROM r WHERE rn <= 5
 """
+
+
+def _ivf_export_paths() -> tuple[str, str, str]:
+    """Paths for the IVF probe-artifact export (per-vector cluster
+    assignments + per-query probe lists), keyed by a content hash of the
+    embeddings parquet plus every quantizer parameter and the fixed-point
+    scale — neither a testdata regeneration nor a parameter/kernel change
+    can pair a stale export with a fresh engine run. The correctness gate
+    always compares at sf0.01 (driver contract), which is the default dir
+    here; override with SPARK_GRAFT_ORACLE_SF_DIR if that ever changes."""
+    import hashlib
+    import json
+    import os
+
+    from transcript_dedup.embeddings import _KMEANS_SCALE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha256()
+    with open(emb, "rb") as f:
+        h.update(f.read())
+    h.update(
+        json.dumps(
+            {"n_clusters": 8, "n_probe": 4, "k": 5, "seed": 11, "n_iters": 5,
+             "scale": _KMEANS_SCALE, "v": 1},
+            sort_keys=True,
+        ).encode()
+    )
+    base = f"/tmp/transcript_dedup_ivf_{h.hexdigest()[:12]}"
+    return base + "_assign.parquet", base + "_probe.parquet", emb
+
+
+def _ensure_ivf_export() -> tuple[str, str]:
+    """Compute the IVF quantizer artifacts with the pure-numpy mirror
+    (embeddings.ivf_probe_artifacts_numpy) and export them once. The mirror
+    is bit-identical to the Spark path by construction — the k-means update
+    accumulates in exact order-independent int64 fixed point and every float
+    step is the same numpy expression the Arrow kernels run (pinned by
+    tests/test_embeddings.py::test_ivf_numpy_mirror_matches_spark) — so the
+    DuckDB oracle can independently reproduce the partial-probe candidate
+    join, exact cosine, and top-k from these inputs."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.embeddings import ivf_probe_artifacts_numpy
+
+    a_path, p_path, emb = _ivf_export_paths()
+    if not (os.path.exists(a_path) and os.path.exists(p_path)):
+        t = pq.read_table(emb, columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        qmask = ids < 5  # the query set `vec_id < 5` used by the entry
+        assigns, probes, _ = ivf_probe_artifacts_numpy(
+            mat, mat[qmask], n_clusters=8, n_probe=4, n_iters=5, seed=11
+        )
+        pq.write_table(
+            pa.table({"vec_id": ids, "cluster": assigns.astype(np.int32)}),
+            a_path,
+        )
+        qids = ids[qmask]
+        pq.write_table(
+            pa.table(
+                {
+                    "qid": np.repeat(qids, probes.shape[1]),
+                    "cluster": probes.reshape(-1).astype(np.int32),
+                }
+            ),
+            p_path,
+        )
+    return a_path, p_path
+
+
+def _ann_ivf_topk_oracle() -> str:
+    """Partial-probe IVF oracle: DuckDB reproduces the inverted-list probe
+    join (assignments x probe lists), candidate dedup, exact cosine, and
+    deterministic top-k entirely from the exported quantizer artifacts —
+    the one non-SQL-expressible piece (the iterative k-means) enters only
+    as data, exactly like the MinHash signature export
+    (_ensure_sig_export)."""
+    a_path, p_path = _ensure_ivf_export()
+    return f"""
+    WITH a AS (SELECT vec_id, cluster FROM read_parquet('{a_path}')),
+    p AS (SELECT qid, cluster FROM read_parquet('{p_path}')),
+    cand AS (SELECT DISTINCT p.qid, a.vec_id AS neighbor
+             FROM p JOIN a ON p.cluster = a.cluster
+             WHERE a.vec_id <> p.qid),
+    emb AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings),
+    s AS (SELECT c.qid, c.neighbor,
+                 list_dot_product(ev.v, eq.v) /
+                 (sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(eq.v, eq.v)))
+                   AS cosine
+          FROM cand c
+          JOIN emb ev ON c.neighbor = ev.vec_id
+          JOIN emb eq ON c.qid = eq.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, neighbor ASC) AS rn
+          FROM s)
+    SELECT qid, neighbor, round(cosine, 6) AS cosine, rn AS rank
+    FROM r WHERE rn <= 5
+    """
 
 
 _CORPUS_PARQUET = "/tmp/transcript_dedup_corpus_seed42_n200.parquet"
@@ -1600,8 +1706,10 @@ def oracle_sql() -> dict[str, str]:
     out["transcript_decisions"] = _transcript_decisions_oracle()
     # sign-LSH buckets: the seeded planes are embedded as SQL constants
     out["ann_lsh_topk"] = _ann_lsh_oracle()
-    # ann_ivf_topk (partial probe) stays rows-only: the iterative k-means
-    # quantizer is not SQL-expressible; the IVF machinery is hash-checked
-    # via ann_ivf_fullprobe_topk (full probe == brute force, test-pinned)
-    # and a pytest recall floor covers the partial probe.
+    # ann_ivf_topk (partial probe): the iterative k-means quantizer is not
+    # SQL-expressible, so its artifacts (assignments + probe lists) are
+    # exported — bit-reproducible thanks to the fixed-point update — and
+    # DuckDB reproduces the probe join + cosine + top-k from them
+    # (the sig-export pattern); full probe stays pure-SQL via brute force.
+    out["ann_ivf_topk"] = _ann_ivf_topk_oracle()
     return out

@@ -107,11 +107,88 @@ def test_multimodal_features_and_dedup(spark):
     assert hits >= len(dup_of) * 0.9
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_wav_roundtrip():
+    """mode='real' actually decodes PCM WAV: build -> decode recovers the
+    signal (16-bit quantization), and the envelope features separate
+    distinct signals while matching near-identical ones."""
+    from transcript_dedup.multimodal import build_wav, decode_media, decode_wav
+
+    t = np.arange(4000) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t) * 0.5
+    wav = build_wav(sine)
+    samples, rate = decode_wav(wav)
+    assert rate == 8000
+    assert np.abs(samples - sine).max() < 2e-4  # 16-bit quantization error
+
+    f_sine = decode_media("audio", wav, mode="real")
+    f_near = decode_media(
+        "audio", build_wav(sine + np.sin(2 * np.pi * 441 * t) * 1e-3), mode="real"
+    )
+    f_other = decode_media(
+        "audio", build_wav(np.sign(np.sin(2 * np.pi * 97 * t)) * (t / t.max())),
+        mode="real",
+    )
+    assert len(f_sine) == 64
+    assert float(f_sine @ f_near) > 0.9999
+    assert float(f_sine @ f_other) < 0.99
+
+
+def test_real_decode_ppm_roundtrip():
+    from transcript_dedup.multimodal import build_ppm, decode_media, decode_ppm
+
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    ppm = build_ppm(pix)
+    assert np.array_equal(decode_ppm(ppm), pix)
+    # header comments parse too
+    commented = ppm.replace(b"P6\n", b"P6\n# a comment line\n", 1)
+    assert np.array_equal(decode_ppm(commented), pix)
+    feat = decode_media("image", ppm, mode="real")
+    assert len(feat) == 64 and abs(float(np.linalg.norm(feat)) - 1.0) < 1e-5
+
+
+def test_real_decode_end_to_end_spark(spark):
+    """Real-decode kernel end to end: a mixed corpus of WAV + PPM + one
+    compressed (PNG-magic) payload; the codec-free containers decode, the
+    compressed row comes back decode_ok=false instead of failing the job."""
+    from transcript_dedup.multimodal import build_ppm, build_wav, extract_features
+
+    rng = np.random.default_rng(9)
+    t = np.arange(2000) / 8000.0
+    rows = []
+    for i in range(6):
+        rows.append(
+            (f"a{i}", 0, "audio",
+             bytearray(build_wav(np.sin(2 * np.pi * (200 + 40 * i) * t))), {})
+        )
+    for i in range(6):
+        rows.append(
+            (f"i{i}", 0, "image",
+             bytearray(build_ppm(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))),
+             {}),
+        )
+    rows.append(("x0", 0, "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 64), {}))
+    att = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, kind string, content binary, meta map<string,string>",
+    )
+    got = {r["conv_id"]: r for r in extract_features(att, mode="real").collect()}
+    assert all(got[f"a{i}"]["decode_ok"] for i in range(6))
+    assert all(got[f"i{i}"]["decode_ok"] for i in range(6))
+    assert not got["x0"]["decode_ok"] and got["x0"]["feat"] is None
+
+
+def test_real_decode_stubbed_for_compressed_formats():
+    """Compressed formats still raise loudly — they genuinely need codec
+    libraries this sandbox does not ship."""
     from transcript_dedup.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
         decode_media("image", b"\x89PNG...", mode="real")
+    with pytest.raises(NotImplementedError):  # non-PCM (compressed) WAV
+        hdr = b"RIFF" + b"\x28\0\0\0" + b"WAVEfmt " + b"\x10\0\0\0"
+        fmt = b"\x02\0\x01\0" + b"\x40\x1f\0\0" + b"\x80\x3e\0\0" + b"\x02\0\x10\0"
+        decode_media("audio", hdr + fmt + b"data\x04\0\0\0\0\0\0\0", mode="real")
 
 
 def test_ann_ivf_full_probe_equals_brute_force(spark):
@@ -130,6 +207,36 @@ def test_ann_ivf_full_probe_equals_brute_force(spark):
         for r in brute_force_topk(vecs, qs, k=5).collect()
     }
     assert got == want
+
+
+def test_ivf_numpy_mirror_matches_spark(spark):
+    """The pure-numpy quantizer mirror (consumed by the driver's
+    partial-probe DuckDB oracle export) must be BIT-identical to the Spark
+    path: same centroids (the update accumulates in exact order-independent
+    int64 fixed point) and same per-vector assignments."""
+    from transcript_dedup.embeddings import (
+        ivf_probe_artifacts_numpy,
+        kmeans_centroids,
+        with_assignment,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = vecs.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    m_assign, m_probe, m_cents = ivf_probe_artifacts_numpy(
+        mat, mat[ids < 5], n_clusters=8, n_probe=4, n_iters=5, seed=11
+    )
+    s_cents = kmeans_centroids(vecs, n_clusters=8, n_iters=5, seed=11)
+    assert np.array_equal(s_cents, m_cents)  # bitwise, not allclose
+
+    s_assign = {
+        r["vec_id"]: r["_cluster"]
+        for r in with_assignment(vecs, s_cents).select("vec_id", "_cluster").collect()
+    }
+    assert all(s_assign[int(i)] == int(c) for i, c in zip(ids, m_assign))
+    assert m_probe.shape == (int((ids < 5).sum()), 4)
 
 
 def test_ann_ivf_partial_probe_recall(spark):

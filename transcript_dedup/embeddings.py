@@ -239,10 +239,20 @@ def with_assignment(
         if mat.size == 0:
             return pd.Series([], dtype="int32")
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = (mat / norms) @ cn.T
+        sims = _centroid_sims(mat / norms, cn)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     return vectors.withColumn("_cluster", assign(F.col(vec_col)))
+
+
+def _centroid_sims(unit_rows: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Row-vs-centroid cosine matrix as one matrix-VECTOR product per
+    centroid (dgemv), not a single dgemm: a row's dot-product reduction
+    order then depends only on the vector dimension, never on how many rows
+    share the batch — so Arrow batch boundaries (and any future batch-size
+    change) cannot perturb the result in the last ulp. This is what makes
+    the Spark kernels bit-identical to the full-matrix numpy mirror."""
+    return np.stack([unit_rows @ cn[c] for c in range(cn.shape[0])], axis=1)
 
 
 def ivf_probe_artifacts_numpy(
@@ -252,10 +262,10 @@ def ivf_probe_artifacts_numpy(
     n_probe: int = 4,
     n_iters: int = 5,
     seed: int = 11,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pure-numpy mirror of the kmeans_centroids -> with_assignment ->
     probe_clusters chain: (per-vector cluster assignments int32, per-query
-    (nq, n_probe) probe lists int32).
+    (nq, n_probe) probe lists int32, final centroids float64).
 
     Bit-identical to the Spark path by construction: the distributed update
     step accumulates floor(v * _KMEANS_SCALE) in exact int64 arithmetic
@@ -276,7 +286,7 @@ def ivf_probe_artifacts_numpy(
     q_int = np.floor(mat * _KMEANS_SCALE).astype(np.int64)
     for _ in range(n_iters):
         cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-        assign = np.argmax(unit @ cn.T, axis=1)
+        assign = np.argmax(_centroid_sims(unit, cn), axis=1)
         new = cents.copy()
         for c in range(n_clusters):
             m = assign == c
@@ -288,12 +298,12 @@ def ivf_probe_artifacts_numpy(
         cents = new
 
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    assignments = np.argmax(unit @ cn.T, axis=1).astype("int32")
+    assignments = np.argmax(_centroid_sims(unit, cn), axis=1).astype("int32")
     qnorms = np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    probes = np.argsort(-((qmat / qnorms) @ cn.T), axis=1)[:, :n_probe].astype(
-        "int32"
-    )
-    return assignments, probes
+    probes = np.argsort(-_centroid_sims(qmat / qnorms, cn), axis=1)[
+        :, :n_probe
+    ].astype("int32")
+    return assignments, probes, cents
 
 
 def ann_ivf_topk(
@@ -339,7 +349,7 @@ def ann_ivf_topk(
         if mat.size == 0:
             return pd.Series([], dtype=object)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = (mat / norms) @ cn.T
+        sims = _centroid_sims(mat / norms, cn)
         top = np.argsort(-sims, axis=1)[:, :np_probe].astype("int32")
         return pd.Series(list(top))
 
