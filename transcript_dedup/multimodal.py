@@ -2,13 +2,16 @@
 
 Training-data pipelines carry image/audio/video alongside text. The engine
 treats media as ``binary`` columns with a typed metadata map; decode /
-feature-extract runs as Arrow-batched ``mapInPandas`` kernels. The
-image/audio codec libraries are NOT present in this environment, so the
-decode step is STUBBED: ``decode_media`` raises ``NotImplementedError``
-unless a deterministic fake decoder is selected — but the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
-and tested, and the fake decoder is deterministic so downstream dedup
-(feature near-dup via embeddings.py) is testable end-to-end.
+feature-extract runs as Arrow-batched ``mapInPandas`` kernels.
+
+Real decode is implemented for the container formats that parse with pure
+``struct``/numpy — PCM WAV audio (RIFF) and binary PPM/PGM images — and
+produces signal-level features (amplitude envelope / luminance histogram).
+Genuinely COMPRESSED formats (JPEG/PNG/MP3/H.264 ...) need codec libraries
+(PIL / soundfile / pyav) that this environment does not ship, so those
+payloads raise ``NotImplementedError`` inside the decoder; the extraction
+kernel converts that to ``decode_ok = false`` per row. A deterministic fake
+decoder (byte-histogram embedding) remains for plumbing tests.
 
 Attachment schema:
     (conv_id string, turn_idx int, kind string,       -- image|audio|video
@@ -19,6 +22,7 @@ Feature schema adds:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -27,7 +31,7 @@ from pyspark.sql import DataFrame
 
 FEAT_DIM = 64
 
-try:  # real decoders, absent in this container — stub-gated
+try:  # full codec coverage if ever present — not shipped in this container
     import PIL.Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -35,25 +39,161 @@ except Exception:  # noqa: BLE001
     _HAVE_PIL = False
 
 
+# --------------------------------------------------------------------------
+# container parsers — pure struct/numpy, no codec libraries
+# --------------------------------------------------------------------------
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> (mono float64 samples in [-1, 1], sample_rate).
+
+    Parses the chunk list (fmt /data, skipping LIST/INFO etc.); supports
+    uncompressed PCM at 8/16/32 bits, any channel count (downmixed by
+    mean). Compressed codecs (format tag != 1) raise NotImplementedError.
+    """
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        csz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels = struct.unpack_from("<HH", fmt, 0)
+    sample_rate = struct.unpack_from("<I", fmt, 4)[0]
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} is compressed; only PCM decodes "
+            "without codec libraries"
+        )
+    if bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = (
+            np.frombuffer(data[: len(data) // 4 * 4], "<i4").astype(np.float64)
+            / 2147483648.0
+        )
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if n_channels > 1:
+        x = x[: len(x) // n_channels * n_channels].reshape(-1, n_channels).mean(axis=1)
+    return x, int(sample_rate)
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) -> uint8 array (H, W[, 3]).
+
+    Pure header-token parser (handles '#' comments); maxval must fit a
+    byte. This is the classic codec-free interchange format.
+    """
+    if content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    is_rgb = content[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated PPM/PGM header")
+        c = content[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM/PGM not supported")
+    n = w * h * (3 if is_rgb else 1)
+    raster = np.frombuffer(content, np.uint8, count=n, offset=pos)
+    return raster.reshape((h, w, 3) if is_rgb else (h, w))
+
+
+def _audio_features(samples: np.ndarray) -> np.ndarray:
+    """FEAT_DIM-bucket mean-absolute-amplitude envelope, L2-normalized —
+    a signal-level fingerprint stable under container re-wrapping."""
+    if samples.size == 0:
+        return np.zeros(FEAT_DIM, dtype=np.float32)
+    idx = np.arange(samples.size) * FEAT_DIM // samples.size
+    env = np.zeros(FEAT_DIM)
+    np.add.at(env, idx, np.abs(samples))
+    cnt = np.bincount(idx, minlength=FEAT_DIM).astype(np.float64)
+    env = env / np.maximum(cnt, 1)
+    n = np.linalg.norm(env)
+    return (env / n if n else env).astype(np.float32)
+
+
+def _image_features(pix: np.ndarray) -> np.ndarray:
+    """FEAT_DIM-bin luminance histogram, L2-normalized."""
+    lum = pix @ np.array([0.299, 0.587, 0.114]) if pix.ndim == 3 else pix
+    hist = np.bincount(
+        np.clip(lum.astype(np.int64) >> 2, 0, FEAT_DIM - 1).ravel(),
+        minlength=FEAT_DIM,
+    )[:FEAT_DIM].astype(np.float64)
+    n = np.linalg.norm(hist)
+    return (hist / n if n else hist).astype(np.float32)
+
+
 def decode_media(kind: str, content: bytes, mode: str = "fake") -> np.ndarray:
     """-> FEAT_DIM float32 feature vector.
 
-    mode='real' requires codec libraries (PIL / soundfile / pyav) that this
-    environment does not ship -> NotImplementedError, by design.
+    mode='real' parses the payload by magic bytes: PCM WAV -> amplitude
+    envelope; binary PPM/PGM -> luminance histogram. Compressed formats
+    (JPEG/PNG/MP3/...) raise NotImplementedError — they need codec
+    libraries (PIL / soundfile / pyav) this environment does not ship; the
+    extraction kernel maps that to decode_ok=false per row.
     mode='fake' is a deterministic byte-statistics embedding: a 64-bin byte
     histogram, L2-normalized — stable across runs and processes, so tests
     can assert exact values and near-dup detection on perturbed payloads
     behaves like a real embedding would.
     """
     if mode == "real":
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return _audio_features(decode_wav(content)[0])
+        if content[:2] in (b"P6", b"P5"):
+            return _image_features(decode_ppm(content))
         raise NotImplementedError(
-            "real media decode needs PIL/soundfile/pyav; not available in this "
-            "sandbox — use mode='fake' (deterministic) for pipeline testing"
+            "real decode covers codec-free containers only (PCM WAV, binary "
+            "PPM/PGM); this payload needs a codec library (PIL/soundfile/"
+            "pyav) absent in this sandbox"
         )
     x = np.frombuffer(content, dtype=np.uint8)
     hist = np.bincount(x >> 2, minlength=FEAT_DIM)[:FEAT_DIM].astype(np.float64)
     n = np.linalg.norm(hist)
     return (hist / n if n else hist).astype(np.float32)
+
+
+def build_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> minimal 16-bit PCM mono WAV bytes
+    (deterministic; used by tests and corpus generators)."""
+    pcm = (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def build_ppm(pix: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) -> binary P6 PPM bytes (deterministic)."""
+    h, w = pix.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + pix.astype(np.uint8).tobytes()
 
 
 def extract_features(attachments: DataFrame, mode: str = "fake") -> DataFrame:
