@@ -16,7 +16,10 @@ The protocol is WINDOW-based (round-4 change): VM noise on this box is
 window-shaped — whole 20-minute stretches run 1.3-1.9x slow, including the
 pure-numpy ceiling probe — so single-window estimates of the lo/hi ratio
 swing +/-0.05-0.1 regardless of within-window replication. One window =
-[ceiling probe, lo rep, hi rep, ceiling probe]; BENCH_WINDOWS (default 3)
+[ceiling probe, hi rep, lo rep, hi rep, ceiling probe] — the two hi reps
+bracket the 3-4x-longer lo rep so both levels sample the same VM stretch
+symmetrically (window hi throughput = mean of the two, their spread
+reported); BENCH_WINDOWS (default 3)
 independent windows run back-to-back, each window yields its own raw
 efficiency and efficiency-vs-its-own-ceiling (both levels and the bracket
 probes share the window's draw), and the HEADLINE numbers are the
@@ -241,29 +244,48 @@ def main() -> None:
     decisions = set()
 
     def _one_window() -> dict:
+        # hi-lo-hi ordering (round-5 change): the hi rep samples only a
+        # ~90 s slice of host state while the lo rep spans ~250 s, so a
+        # single hi sample placed entirely before or after lo is exposed to
+        # within-window drift (observed: windows where lo drew a clean
+        # stretch while the lone hi rep landed on a taxed one, and vice
+        # versa). Two hi reps BRACKETING the lo rep sample the draw at both
+        # ends of the span lo actually ran over; the window's hi throughput
+        # is their mean, and their spread is reported so asymmetric windows
+        # are visible instead of silently biased.
         c0 = _hardware_ceiling(SCALE_LO, SCALE_HI)
+        _warm(corpus)
+        hi_a = _run_pipeline_subprocess(SCALE_HI, corpus)
+        decisions.add(hi_a["decisions"])
         _warm(corpus)
         lo = _run_pipeline_subprocess(SCALE_LO, corpus)
         decisions.add(lo["decisions"])
         _warm(corpus)
-        hi = _run_pipeline_subprocess(SCALE_HI, corpus)
-        decisions.add(hi["decisions"])
+        hi_b = _run_pipeline_subprocess(SCALE_HI, corpus)
+        decisions.add(hi_b["decisions"])
         c1 = _hardware_ceiling(SCALE_LO, SCALE_HI)
-        eff = (hi["conv_per_sec"] / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
+        hi_tput = (hi_a["conv_per_sec"] + hi_b["conv_per_sec"]) / 2
+        eff = (hi_tput / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
         # max of the bracket probes = the least-pessimistic reading of the
         # draw the engine reps actually ran under
         ceiling = max(c0, c1)
         w = {
             "wall_sec_lo": lo["wall_sec"],
-            "wall_sec_hi": hi["wall_sec"],
+            "wall_sec_hi": round((hi_a["wall_sec"] + hi_b["wall_sec"]) / 2, 3),
+            "wall_sec_hi_reps": [hi_a["wall_sec"], hi_b["wall_sec"]],
             "conv_per_sec_lo": lo["conv_per_sec"],
-            "conv_per_sec_hi": hi["conv_per_sec"],
+            "conv_per_sec_hi": round(hi_tput, 1),
+            "hi_spread": round(
+                abs(hi_a["wall_sec"] - hi_b["wall_sec"])
+                / min(hi_a["wall_sec"], hi_b["wall_sec"]),
+                3,
+            ),
             "raw": round(eff, 3),
             "ceiling_probes": [c0, c1],
             "ceiling": ceiling,
             "vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
-            "convs": hi["convs"],
-            "decisions": hi["decisions"],
+            "convs": lo["convs"],
+            "decisions": lo["decisions"],
         }
         windows.append(w)
         return w
