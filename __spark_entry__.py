@@ -1090,7 +1090,9 @@ def _q_ann_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_embeddings.py pins this row-for-row) — and brute force IS
     DuckDB-expressible, giving the IVF machinery (quantizer, inverted-list
     probe join, exact verify) a hash-matched oracle row. The partial-probe
-    variant above stays rows-only with a pytest recall floor."""
+    variant above is also hash-matched since round 5 via the exported
+    quantizer artifacts (_ann_ivf_topk_oracle); this full-probe row remains
+    as the independent brute-force-equivalence check."""
     from transcript_dedup.embeddings import ann_ivf_topk
 
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
