@@ -56,6 +56,14 @@ def main():
     run_dedup_dataframes(add_signatures(reconstruct_conversations(wturns), cfg), cfg)[
         "decisions"
     ].count()
+    # the tiny warmup schedules 1-2 python tasks, so only 1-2 Arrow workers
+    # are warm after it; the measured run would fork the remaining (cores-k)
+    # workers COLD inside the wall (node metrics: up to ~14 s/task of
+    # "initialize Python workers" under contention, all at the HI level
+    # since lo reuses its single warm worker). Spawn the full complement now.
+    from transcript_dedup.session import prewarm_python_workers
+
+    prewarm_python_workers(spark, cores)
     spark.catalog.clearCache()
 
     turns = spark.read.parquet(corpus)

@@ -4,6 +4,7 @@
 """
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -33,17 +34,22 @@ def main():
     from transcript_dedup.session import get_spark
     from transcript_dedup.signatures import add_signatures
 
+    extra = {"spark.ui.enabled": "true"}
+    extra.update(json.loads(os.environ.get("TD_EXTRA_CONF", "{}")))
     spark = get_spark(
         f"sqlprof-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=2 * cores,
-        extra_conf={"spark.ui.enabled": "true"},
+        shuffle_partitions=int(os.environ.get("TD_SHUFFLE_PARTS", 2 * cores)),
+        extra_conf=extra,
     )
-    cfg = DedupConfig()
+    cfg = DedupConfig().with_(**json.loads(os.environ.get("TD_CFG", "{}")))
     wturns = corpus_to_spark(spark, generate_corpus(50, seed=7)[0])
     run_dedup_dataframes(add_signatures(reconstruct_conversations(wturns), cfg), cfg)[
         "decisions"
     ].count()
+    from transcript_dedup.session import prewarm_python_workers
+
+    prewarm_python_workers(spark, cores)
     spark.catalog.clearCache()
 
     turns = spark.read.parquet(corpus)
@@ -98,6 +104,14 @@ def main():
         print(f"\n[{nid}] {name}  (max metric {best:.1f}s)")
         for k, v in ms.items():
             print(f"    {k}: {v}")
+    if os.environ.get("TD_PROF_PLAN"):
+        # full physical plan with the same (nodeId) tags the metrics use —
+        # lets a skewed node be mapped back to its operator/keys
+        qd = _get(
+            f"{ui}/api/v1/applications/{app_id}/sql/{q['id']}?details=true&planDescription=true"
+        )
+        print("\n===== planDescription =====")
+        print(qd.get("planDescription", "")[:40000])
     spark.stop()
 
 

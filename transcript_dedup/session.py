@@ -107,3 +107,36 @@ def stop_spark(spark: SparkSession) -> None:
     spark.stop()
     # clear the JVM-wide active/default session so a fresh master takes effect
     SparkSession.builder._options = {}
+
+
+def prewarm_python_workers(spark: SparkSession, n_workers: int) -> None:
+    """Force the full complement of Arrow python workers to spawn NOW.
+
+    ``spark.python.worker.reuse`` keeps workers alive, but the pool only
+    grows to the max python-task concurrency seen so far — a tiny warmup
+    corpus schedules 1-2 mapInPandas tasks, so the first big kernel stage
+    runs on (cores - warm) FRESH workers, each paying the full worker-side
+    import chain: unpickling a kernel closure imports transcript_dedup +
+    pyspark.sql + numpy/pandas (worker.py counts everything between task
+    boot and the end of read_udfs as init_time; SQL node metrics read it
+    as ~11-14 s/task "time to initialize Python workers" under host
+    contention — paid ONLY at the multi-core level, since a 1-core run
+    reuses its single fully-warmed worker). One single-partition task per
+    worker, each importing the top of the engine's dependency tree then
+    sleeping past the scheduling wave, forces every worker in the pool to
+    fork + import here instead.
+    """
+
+    def _spin(batches):
+        import time as _t
+
+        import transcript_dedup.pipeline  # noqa: F401 — pulls detectors,
+        # verify, signatures, cluster: the same chain read_udfs triggers
+        # when it unpickles any kernel closure in this worker
+
+        _t.sleep(1.0)
+        for b in batches:
+            yield b
+
+    df = spark.range(n_workers).repartition(n_workers)
+    df.mapInPandas(_spin, schema="id long").count()
