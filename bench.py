@@ -227,6 +227,21 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = E.queries()
+    # Phase A warmup (round 5): an sf0.001 probe showed the first headline
+    # query paying ~20 s of SCALE-INDEPENDENT cold start (JIT, codegen,
+    # Arrow python-worker imports) — i.e. most of doc_dedup_components'
+    # reading was JVM warmup, not query execution. Mirror Phase B (whose
+    # reps each warm inside their subprocess): run the heaviest query once
+    # at the smallest SF + spawn the full worker pool, untimed, so the
+    # timed loop below measures steady-state execution.
+    from transcript_dedup.session import prewarm_python_workers
+
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    qs[HEADLINE[0]](spark, warm_dir).count()
+    prewarm_python_workers(spark, CPUS)
+    spark.catalog.clearCache()
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
