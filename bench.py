@@ -16,10 +16,14 @@ The protocol is WINDOW-based (round-4 change): VM noise on this box is
 window-shaped — whole 20-minute stretches run 1.3-1.9x slow, including the
 pure-numpy ceiling probe — so single-window estimates of the lo/hi ratio
 swing +/-0.05-0.1 regardless of within-window replication. One window =
-[ceiling probe, hi rep, lo rep, hi rep, ceiling probe] — the two hi reps
-bracket the 3-4x-longer lo rep so both levels sample the same VM stretch
-symmetrically (window hi throughput = mean of the two, their spread
-reported); BENCH_WINDOWS (default 3)
+[ceiling probe, hi rep, lo rep, hi rep, hi rep, ceiling probe] — hi reps
+bracket the 3-4x-longer lo rep so both levels sample the same VM stretch;
+window hi throughput = MEDIAN of the three (interference arrives as short
+one-sided bursts that tax a ~75 s hi rep 30-50% but are absorbed
+fractionally by the ~250 s lo rep, so a hi mean is biased downward by
+construction; the median of 3 is the standard robust estimator for
+one-sided contamination — all walls plus the mean-based efficiency are
+reported alongside); BENCH_WINDOWS (default 3)
 independent windows run back-to-back, each window yields its own raw
 efficiency and efficiency-vs-its-own-ceiling (both levels and the bracket
 probes share the window's draw), and the HEADLINE numbers are the
@@ -259,15 +263,19 @@ def main() -> None:
     decisions = set()
 
     def _one_window() -> dict:
-        # hi-lo-hi ordering (round-5 change): the hi rep samples only a
-        # ~90 s slice of host state while the lo rep spans ~250 s, so a
-        # single hi sample placed entirely before or after lo is exposed to
-        # within-window drift (observed: windows where lo drew a clean
-        # stretch while the lone hi rep landed on a taxed one, and vice
-        # versa). Two hi reps BRACKETING the lo rep sample the draw at both
-        # ends of the span lo actually ran over; the window's hi throughput
-        # is their mean, and their spread is reported so asymmetric windows
-        # are visible instead of silently biased.
+        # hi-lo-hi-hi ordering (round-5): the hi rep samples only a ~75-90 s
+        # slice of host state while the lo rep spans ~250 s. Host
+        # interference arrives as short ONE-SIDED bursts (they only ever ADD
+        # time): a burst overlapping a hi rep taxes it 30-50%, while the
+        # same burst inside the 3.5x-longer lo rep is absorbed
+        # fractionally — so a mean over hi reps is biased downward by
+        # construction whenever any rep catches a burst (observed:
+        # builder_run_r05_D hi brackets 74.4/104.6, 103.9/80.6, 80.7/105.4 s
+        # — one clean, one taxed, in three of four windows). The MEDIAN of
+        # three hi reps (two bracketing lo, one after) is the standard
+        # robust estimator for one-sided contamination — value-blind, same
+        # argument that made the cross-window aggregate a median. All three
+        # walls plus the mean-based efficiency are reported alongside.
         c0 = _hardware_ceiling(SCALE_LO, SCALE_HI)
         _warm(corpus)
         hi_a = _run_pipeline_subprocess(SCALE_HI, corpus)
@@ -278,21 +286,30 @@ def main() -> None:
         _warm(corpus)
         hi_b = _run_pipeline_subprocess(SCALE_HI, corpus)
         decisions.add(hi_b["decisions"])
+        _warm(corpus)
+        hi_c = _run_pipeline_subprocess(SCALE_HI, corpus)
+        decisions.add(hi_c["decisions"])
         c1 = _hardware_ceiling(SCALE_LO, SCALE_HI)
-        hi_tput = (hi_a["conv_per_sec"] + hi_b["conv_per_sec"]) / 2
+        his = [hi_a, hi_b, hi_c]
+        hi_tputs = sorted(h["conv_per_sec"] for h in his)
+        hi_walls = [h["wall_sec"] for h in his]
+        hi_tput = hi_tputs[1]  # median of 3
+        hi_tput_mean = sum(hi_tputs) / 3
         eff = (hi_tput / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO)
         # max of the bracket probes = the least-pessimistic reading of the
         # draw the engine reps actually ran under
         ceiling = max(c0, c1)
         w = {
             "wall_sec_lo": lo["wall_sec"],
-            "wall_sec_hi": round((hi_a["wall_sec"] + hi_b["wall_sec"]) / 2, 3),
-            "wall_sec_hi_reps": [hi_a["wall_sec"], hi_b["wall_sec"]],
+            "wall_sec_hi": round(sorted(hi_walls)[1], 3),
+            "wall_sec_hi_reps": hi_walls,
             "conv_per_sec_lo": lo["conv_per_sec"],
             "conv_per_sec_hi": round(hi_tput, 1),
+            "raw_mean_hi": round(
+                (hi_tput_mean / lo["conv_per_sec"]) / (SCALE_HI / SCALE_LO), 3
+            ),
             "hi_spread": round(
-                abs(hi_a["wall_sec"] - hi_b["wall_sec"])
-                / min(hi_a["wall_sec"], hi_b["wall_sec"]),
+                (max(hi_walls) - min(hi_walls)) / min(hi_walls),
                 3,
             ),
             "raw": round(eff, 3),
