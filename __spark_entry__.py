@@ -1070,18 +1070,46 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 10, seed: 
 """
 
 
+#: single source of truth for the partial-probe IVF entry: _q_ann_ivf_topk,
+#: _ivf_export_paths (oracle cache key) and _ensure_ivf_export (numpy-mirror
+#: artifact computation) ALL consume this dict, so editing a parameter here
+#: re-keys the export and keeps engine and oracle in lockstep — previously
+#: the literals were duplicated across the three sites and a one-sided edit
+#: surfaced only as an opaque hash mismatch (ADVICE round 5).
+_IVF_PARAMS = {
+    "n_clusters": 8,
+    "n_probe": 4,
+    "k": 5,
+    "seed": 11,
+    "n_iters": 5,
+    "query_max_vec_id": 5,  # query set = vec_id < this
+}
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer + inverted-list
     probe + exact cosine verify. Hash-matched against a DuckDB oracle that
     consumes the exported quantizer artifacts (_ann_ivf_topk_oracle) — the
     fixed-point k-means update makes the quantizer bit-reproducible, so the
     export is exactly what this query computes; tests additionally pin
-    full-probe == brute force and a partial-probe recall floor."""
+    full-probe == brute force and a partial-probe recall floor. All
+    parameters come from _IVF_PARAMS (shared with the oracle export)."""
+    from pyspark.sql import functions as F
+
     from transcript_dedup.embeddings import ann_ivf_topk
 
+    p = _IVF_PARAMS
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = vecs.filter("vec_id < 5")
-    return ann_ivf_topk(vecs, queries, k=5, n_clusters=8, n_probe=4)
+    queries = vecs.filter(F.col("vec_id") < p["query_max_vec_id"])
+    return ann_ivf_topk(
+        vecs,
+        queries,
+        k=p["k"],
+        n_clusters=p["n_clusters"],
+        n_probe=p["n_probe"],
+        seed=p["seed"],
+        n_iters=p["n_iters"],
+    )
 
 
 def _q_ann_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,8 +1167,7 @@ def _ivf_export_paths() -> tuple[str, str, str]:
         h.update(f.read())
     h.update(
         json.dumps(
-            {"n_clusters": 8, "n_probe": 4, "k": 5, "seed": 11, "n_iters": 5,
-             "scale": _KMEANS_SCALE, "v": 1},
+            {**_IVF_PARAMS, "scale": _KMEANS_SCALE, "v": 2},
             sort_keys=True,
         ).encode()
     )
@@ -1170,9 +1197,15 @@ def _ensure_ivf_export() -> tuple[str, str]:
         t = pq.read_table(emb, columns=["vec_id", "embedding"])
         ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
         mat = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        qmask = ids < 5  # the query set `vec_id < 5` used by the entry
+        p = _IVF_PARAMS
+        qmask = ids < p["query_max_vec_id"]  # the entry's query set
         assigns, probes, _ = ivf_probe_artifacts_numpy(
-            mat, mat[qmask], n_clusters=8, n_probe=4, n_iters=5, seed=11
+            mat,
+            mat[qmask],
+            n_clusters=p["n_clusters"],
+            n_probe=p["n_probe"],
+            n_iters=p["n_iters"],
+            seed=p["seed"],
         )
         pq.write_table(
             pa.table({"vec_id": ids, "cluster": assigns.astype(np.int32)}),
@@ -1199,6 +1232,7 @@ def _ann_ivf_topk_oracle() -> str:
     as data, exactly like the MinHash signature export
     (_ensure_sig_export)."""
     a_path, p_path = _ensure_ivf_export()
+    k = _IVF_PARAMS["k"]
     return f"""
     WITH a AS (SELECT vec_id, cluster FROM read_parquet('{a_path}')),
     p AS (SELECT qid, cluster FROM read_parquet('{p_path}')),
@@ -1218,7 +1252,7 @@ def _ann_ivf_topk_oracle() -> str:
                                        ORDER BY cosine DESC, neighbor ASC) AS rn
           FROM s)
     SELECT qid, neighbor, round(cosine, 6) AS cosine, rn AS rank
-    FROM r WHERE rn <= 5
+    FROM r WHERE rn <= {k}
     """
 
 

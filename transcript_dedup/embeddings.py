@@ -165,7 +165,12 @@ def ann_lsh_topk(
 #: resulting centroids are bit-reproducible run-to-run and bit-identical to
 #: the pure-numpy mirror (ivf_probe_artifacts_numpy). The 2^-20 quantization
 #: of the *mean* is far below any component noise floor; overflow bound:
-#: |v| <= 1e3 and 1e10 rows/cluster stay under 2^63.
+#: each contribution is at most |v| * 2^20, so int64 (< 2^63-1 ~ 9.22e18)
+#: tolerates ~8.8e9 rows/cluster at |v| <= 1e3 and ~8.8e12 at |v| <= 1
+#: (unit-scale embeddings). Spark's non-ANSI long sum would overflow
+#: SILENTLY past that, so kmeans_centroids checks the bound explicitly
+#: (one cheap max/count aggregate) and raises instead of corrupting
+#: centroids.
 _KMEANS_SCALE = float(1 << 20)
 
 
@@ -192,6 +197,26 @@ def kmeans_centroids(
     if dim_row is None:
         raise ValueError("kmeans_centroids: vectors DataFrame is empty")
     dim = int(dim_row["d"])
+    # overflow guard (see _KMEANS_SCALE): Spark's non-ANSI long sum wraps
+    # silently, so verify the worst case — every row in one cluster, every
+    # component at the corpus max magnitude — stays under 2^62 (2x margin)
+    bound = vectors.select(
+        F.count("*").alias("n"),
+        F.max(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+            )
+        ).alias("vmax"),
+    ).first()
+    worst = (float(bound["vmax"] or 0.0) * _KMEANS_SCALE + 1.0) * float(bound["n"])
+    if worst >= float(1 << 62):
+        raise ValueError(
+            f"kmeans_centroids: fixed-point sum could overflow int64 "
+            f"(rows={bound['n']}, max|v|={bound['vmax']:.3g}, scale=2^20); "
+            f"rescale the vectors or reduce _KMEANS_SCALE"
+        )
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_clusters, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -276,6 +301,14 @@ def ivf_probe_artifacts_numpy(
     by the driver's partial-probe DuckDB oracle export."""
     mat = np.asarray(mat, dtype=np.float64)
     qmat = np.asarray(qmat, dtype=np.float64)
+    # same int64 overflow guard as kmeans_centroids — the mirror must fail
+    # loudly on exactly the inputs the Spark path refuses
+    worst = (float(np.abs(mat).max(initial=0.0)) * _KMEANS_SCALE + 1.0) * mat.shape[0]
+    if worst >= float(1 << 62):
+        raise ValueError(
+            "ivf_probe_artifacts_numpy: fixed-point sum could overflow int64; "
+            "rescale the vectors or reduce _KMEANS_SCALE"
+        )
     dim = mat.shape[1]
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((n_clusters, dim))
@@ -313,6 +346,7 @@ def ann_ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -333,7 +367,9 @@ def ann_ivf_topk(
     we_cached = vectors.storageLevel == StorageLevel.NONE
     if we_cached:
         vectors = vectors.persist()
-    cents = kmeans_centroids(vectors, n_clusters, seed=seed, vec_col=vec_col)
+    cents = kmeans_centroids(
+        vectors, n_clusters, n_iters=n_iters, seed=seed, vec_col=vec_col
+    )
     if we_cached:
         vectors.unpersist()
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)

@@ -112,11 +112,22 @@ def decode_ppm(content: bytes) -> np.ndarray:
             while pos < len(content) and not content[pos : pos + 1].isspace():
                 pos += 1
             tokens.append(int(content[start:pos]))
-    pos += 1  # single whitespace after maxval, then raster
+    # exactly ONE whitespace byte separates maxval from the raster (PNM
+    # spec); a CRLF or comment here would silently shift the raster offset,
+    # so validate the separator and the remaining byte count instead of
+    # trusting frombuffer's count check alone
+    if pos >= len(content) or not content[pos : pos + 1].isspace():
+        raise ValueError("PPM/PGM: missing whitespace after maxval")
+    pos += 1
     w, h, maxval = tokens
     if maxval > 255:
         raise ValueError("16-bit PPM/PGM not supported")
     n = w * h * (3 if is_rgb else 1)
+    if len(content) - pos != n:
+        raise ValueError(
+            f"PPM/PGM: raster is {len(content) - pos} bytes, expected {n} "
+            f"for {w}x{h}x{3 if is_rgb else 1}"
+        )
     raster = np.frombuffer(content, np.uint8, count=n, offset=pos)
     return raster.reshape((h, w, 3) if is_rgb else (h, w))
 

@@ -256,6 +256,13 @@ class StreamingDedup:
             )
 
         # ---- new-vs-all detector pass (exact + LSH) ----------------------
+        # same cid injectivity contract the batch pipeline asserts per pairs
+        # job: all_ is new ∪ stored-live, exactly the id space the joins
+        # below key on, so a cross-batch xxhash64 collision aborts loudly
+        # here instead of emitting a false duplicate pair
+        from .signatures import assert_cid_unique
+
+        assert_cid_unique(all_)
         cand = _incremental_candidates(new, all_, cfg)
         new_pairs = verify_candidates(cand, all_, cfg).persist()
         self.io.write(new_pairs.withColumn("_seq", seq), "candidate_pairs", mode="append")
