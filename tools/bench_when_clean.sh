@@ -6,8 +6,8 @@
 # against concurrent Spark work contaminating the measurement.
 set -u
 cd /root/repo
-LOG=${LOG:-/tmp/r05_bench_loop.log}
-OUT=${OUT:-/root/repo/BENCH/builder_run_r05_B.json}
+LOG=${LOG:-/tmp/r06_bench_loop.log}
+OUT=${OUT:-/root/repo/BENCH/builder_run_r06_A.json}
 THRESH=${THRESH:-82}
 for i in $(seq 1 28); do
   w=$(python - <<'PY'
@@ -25,7 +25,9 @@ PY
   if [ "$ok" = "1" ]; then
     echo "$(date -u +%H:%M:%S) host clean -> starting full bench" >> "$LOG"
     touch /tmp/BENCH_RUNNING
-    BENCH_WINDOWS=3 python bench.py > "$OUT" 2>/tmp/r05_bench_err.log
+    # pass the canary we just measured so bench.py records it instead of
+    # spending another ~80 s re-measuring (round-6: canary_t4_sec field)
+    BENCH_WINDOWS=${BENCH_WINDOWS:-3} BENCH_CANARY_T4="$w" python bench.py > "$OUT" 2>/tmp/r06_bench_err.log
     rc=$?
     rm -f /tmp/BENCH_RUNNING
     echo "$(date -u +%H:%M:%S) bench done rc=$rc -> $OUT" >> "$LOG"
