@@ -81,6 +81,30 @@ def test_split_hydration_bit_identical(spark, turns200, cfg):
     assert base == split
 
 
+def test_pipeline_plan_shape_gate(spark, turns200, cfg):
+    """Plan-shape regression gate (round-6): render the physical plan of the
+    full pairs stage exactly as the pipeline runs it — all three detector
+    arms unioned, hydrated, verified — and pin the properties the 100 TB
+    audit rests on: no CartesianProduct, no BroadcastNestedLoopJoin
+    anywhere, hydration on ShuffledHashJoin, and the hydration join keys on
+    the dictionary-encoded cid longs (a_cid/b_cid), not the conv_id
+    strings. A future change that silently regresses any of these fails
+    here instead of surfacing as a bench cliff. The same plan is archived
+    in BENCH/PLANS.md by tools/explain_plans.py."""
+    conv = add_signatures(reconstruct_conversations(turns200), cfg)
+    cand = (
+        exact_candidates(conv)
+        .unionByName(lsh_candidates(conv, cfg, None))
+        .unionByName(substring_candidates(conv, cfg, None, verify_mode="instr"))
+    )
+    pairs = verify_candidates(cand, conv, cfg)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "cartesian join regressed into the pairs stage"
+    assert "BroadcastNestedLoopJoin" not in plan, "BNLJ regressed into the pairs stage"
+    assert "ShuffledHashJoin" in plan, "hydration lost its shuffle_hash pin"
+    assert "a_cid#" in plan and "b_cid#" in plan, "hydration joins no longer cid-keyed"
+
+
 def test_shuffle_hash_join_in_plan(spark, turns200, cfg):
     conv = add_signatures(reconstruct_conversations(turns200), cfg)
     cand = exact_candidates(conv)
