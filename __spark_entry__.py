@@ -1256,6 +1256,165 @@ def _ann_ivf_topk_oracle() -> str:
     """
 
 
+#: doc_multimodal_features parameters — shared by the Spark query and the
+#: oracle export (same lockstep rationale as _IVF_PARAMS)
+_MM_PARAMS = {"n_docs": 24, "v": 1}
+
+
+def _q_doc_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction under the 40/40 oracle regime
+    (round-6 verdict item 6): synthesize a deterministic media payload per
+    document id (real 16-bit PCM WAV / binary P6 PPM containers, plus an
+    undecodable compressed-style payload for every third id), round-trip it
+    through the pure struct/numpy decoders (multimodal.decode_wav /
+    decode_ppm — reference metadata extraction:
+    /root/reference/src/metadata.ts:1-39 reads tags off audio files; here
+    the analogous signal-level features), and emit the FEAT_DIM feature
+    vector exploded to scalar rows so DuckDB can compare values. The oracle
+    recomputes the feature math (envelope bucketing, luminance histogram,
+    L2 norm) in SQL from a parquet export of the PRE-ENCODE signal — so
+    the container encode->decode round trip and the feature arithmetic are
+    both independently verified."""
+    from pyspark.sql import functions as F
+
+    from transcript_dedup.multimodal import extract_features, synth_attachments
+
+    n = _MM_PARAMS["n_docs"]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < n)
+        .select("doc_id")
+    )
+    feats = extract_features(synth_attachments(docs), mode="real")
+    return feats.select(
+        "doc_id",
+        "kind",
+        "decode_ok",
+        F.posexplode_outer("feat").alias("dim_idx", "val"),
+    ).select(
+        "doc_id",
+        "kind",
+        "decode_ok",
+        "dim_idx",
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
+def _mm_export_paths() -> tuple[str, str, str]:
+    """Export paths for the multimodal oracle's pre-encode signal, keyed by
+    a content hash of multimodal.py (signal rule + decoders + feature
+    kernels live there) plus _MM_PARAMS — a kernel or parameter change
+    re-keys the export, so a stale artifact can never pair with a fresh
+    engine run (same discipline as _ivf_export_paths)."""
+    import hashlib
+    import json
+    import os
+
+    import transcript_dedup.multimodal as mm
+
+    h = hashlib.sha256()
+    with open(mm.__file__, "rb") as f:
+        h.update(f.read())
+    h.update(json.dumps(_MM_PARAMS, sort_keys=True).encode())
+    base = f"/tmp/transcript_dedup_mm_{h.hexdigest()[:12]}"
+    return base + "_manifest.parquet", base + "_audio.parquet", base + "_image.parquet"
+
+
+def _ensure_mm_export() -> tuple[str, str, str]:
+    """Write the pre-encode signal arrays (numpy mirror of
+    synth_payload_signal) to parquet: the manifest (doc_id, kind), the
+    16-bit-quantized audio samples exactly as build_wav stores them (the
+    truncation toward zero happens HERE, so the SQL side divides by 32768
+    and gets the decoder's floats bit-identically), and the raw RGB pixels.
+    The features themselves are NOT exported — DuckDB recomputes them."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_dedup.multimodal import synth_payload_signal
+
+    man, aud, img = _mm_export_paths()
+    if all(os.path.exists(p) for p in (man, aud, img)):
+        return man, aud, img
+    m_doc, m_kind = [], []
+    a_doc, a_idx, a_val = [], [], []
+    i_doc, i_idx, i_r, i_g, i_b = [], [], [], [], []
+    for d in range(_MM_PARAMS["n_docs"]):
+        kind, sig = synth_payload_signal(d)
+        m_doc.append(d)
+        m_kind.append(kind)
+        if kind == "audio":
+            ival = (np.clip(sig, -1, 1) * 32767.0).astype(np.int16)
+            a_doc.extend([d] * len(ival))
+            a_idx.extend(range(len(ival)))
+            a_val.extend(int(v) for v in ival)
+        elif kind == "image":
+            flat = sig.reshape(-1, 3).astype(np.int64)
+            i_doc.extend([d] * len(flat))
+            i_idx.extend(range(len(flat)))
+            i_r.extend(int(v) for v in flat[:, 0])
+            i_g.extend(int(v) for v in flat[:, 1])
+            i_b.extend(int(v) for v in flat[:, 2])
+    pq.write_table(pa.table({"doc_id": m_doc, "kind": m_kind}), man)
+    pq.write_table(pa.table({"doc_id": a_doc, "idx": a_idx, "ival": a_val}), aud)
+    pq.write_table(
+        pa.table({"doc_id": i_doc, "idx": i_idx, "r": i_r, "g": i_g, "b": i_b}), img
+    )
+    return man, aud, img
+
+
+def _doc_multimodal_oracle() -> str:
+    """DuckDB recompute of the multimodal features from the pre-encode
+    signal export: audio = per-bucket mean |sample| envelope (idx*64//n
+    bucketing, matching _audio_features), image = 64-bin luminance
+    histogram with the exact elementwise 0.299r+0.587g+0.114b doubles and
+    floor-then->>2 binning of _image_features, both L2-normalized then
+    quantized to float32 like the kernel's .astype(np.float32). Video rows
+    reproduce the decode_ok=false null-feature shape."""
+    man, aud, img = _ensure_mm_export()
+    dim = 64  # transcript_dedup.multimodal.FEAT_DIM
+    return f"""
+    WITH m AS (SELECT doc_id, kind FROM read_parquet('{man}')),
+    a AS (SELECT doc_id, idx, CAST(ival AS DOUBLE) / 32768.0 AS x
+          FROM read_parquet('{aud}')),
+    an AS (SELECT doc_id, count(*) AS n FROM a GROUP BY doc_id),
+    ab AS (SELECT a.doc_id, (a.idx * {dim}) // an.n AS b, abs(a.x) AS ax
+           FROM a JOIN an ON a.doc_id = an.doc_id),
+    aenv AS (SELECT doc_id, b, avg(ax) AS env FROM ab GROUP BY doc_id, b),
+    anrm AS (SELECT doc_id, b,
+                    env / sqrt(sum(env * env) OVER (PARTITION BY doc_id)) AS v
+             FROM aenv),
+    arows AS (SELECT anrm.doc_id, m.kind, TRUE AS decode_ok,
+                     CAST(anrm.b AS INTEGER) AS dim_idx,
+                     round(CAST(CAST(anrm.v AS REAL) AS DOUBLE), 6) AS val
+              FROM anrm JOIN m ON anrm.doc_id = m.doc_id),
+    p AS (SELECT doc_id,
+                 CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g
+               + CAST(0.114 AS DOUBLE) * b AS lum
+          FROM read_parquet('{img}')),
+    pb AS (SELECT doc_id, least(CAST(floor(lum) AS BIGINT) // 4, {dim} - 1) AS bin
+           FROM p),
+    grid AS (SELECT i.doc_id, g.range AS b
+             FROM (SELECT DISTINCT doc_id FROM pb) i CROSS JOIN range({dim}) g),
+    cnt AS (SELECT doc_id, bin, count(*) AS c FROM pb GROUP BY doc_id, bin),
+    hist AS (SELECT grid.doc_id, grid.b, CAST(coalesce(cnt.c, 0) AS DOUBLE) AS c
+             FROM grid LEFT JOIN cnt ON grid.doc_id = cnt.doc_id AND grid.b = cnt.bin),
+    hnrm AS (SELECT doc_id, b,
+                    c / sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS v
+             FROM hist),
+    irows AS (SELECT hnrm.doc_id, m.kind, TRUE AS decode_ok,
+                     CAST(hnrm.b AS INTEGER) AS dim_idx,
+                     round(CAST(CAST(hnrm.v AS REAL) AS DOUBLE), 6) AS val
+              FROM hnrm JOIN m ON hnrm.doc_id = m.doc_id),
+    vrows AS (SELECT doc_id, kind, FALSE AS decode_ok,
+                     CAST(NULL AS INTEGER) AS dim_idx, CAST(NULL AS DOUBLE) AS val
+              FROM m WHERE kind = 'video')
+    SELECT * FROM arows UNION ALL SELECT * FROM irows UNION ALL SELECT * FROM vrows
+    """
+
+
 _CORPUS_PARQUET = "/tmp/transcript_dedup_corpus_seed42_n200.parquet"
 
 
@@ -1723,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_weighted_keep"] = _q_doc_weighted_keep
     out["doc_metadata_fixer"] = _q_doc_metadata_fixer
     out["region_broadcast_rollup"] = _q_region_broadcast_rollup
+    out["doc_multimodal_features"] = _q_doc_multimodal_features
     return out
 
 
@@ -1748,4 +1908,8 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB reproduces the probe join + cosine + top-k from them
     # (the sig-export pattern); full probe stays pure-SQL via brute force.
     out["ann_ivf_topk"] = _ann_ivf_topk_oracle()
+    # multimodal decode: the container round trip runs in Spark (real RIFF
+    # WAV / binary PPM decoders); DuckDB recomputes the feature math from a
+    # parquet export of the pre-encode signal (round-6 verdict item 6)
+    out["doc_multimodal_features"] = _doc_multimodal_oracle()
     return out

@@ -254,3 +254,25 @@ def test_ann_ivf_partial_probe_recall(spark):
         for r in brute_force_topk(vecs, qs, k=5).collect()
     }
     assert len(got & want) / len(want) >= 0.5, (len(got & want), len(want))
+
+
+def test_doc_multimodal_features_query(spark):
+    """The 41st oracle row (round-6): deterministic WAV/PPM payloads per
+    doc_id round-trip through the real decoders; decoded docs emit FEAT_DIM
+    L2-normalized scalar rows, undecodable ones a single null-feature row.
+    Value-level parity vs DuckDB is the driver's job (tools/driver_sim.py);
+    this pins the query's shape and the feature-norm invariant."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.queries()["doc_multimodal_features"](spark, "/root/testdata/sf0.01").toPandas()
+    n = E._MM_PARAMS["n_docs"]
+    decoded = df[df["decode_ok"]]
+    failed = df[~df["decode_ok"]]
+    assert len(failed) == n // 3 and failed["dim_idx"].isna().all()
+    assert set(failed["kind"]) == {"video"}
+    assert len(decoded) == (n - n // 3) * 64
+    norms = decoded.groupby("doc_id")["val"].apply(lambda v: float((v**2).sum()))
+    assert ((norms - 1.0).abs() < 1e-4).all(), norms

@@ -147,8 +147,18 @@ def _audio_features(samples: np.ndarray) -> np.ndarray:
 
 
 def _image_features(pix: np.ndarray) -> np.ndarray:
-    """FEAT_DIM-bin luminance histogram, L2-normalized."""
-    lum = pix @ np.array([0.299, 0.587, 0.114]) if pix.ndim == 3 else pix
+    """FEAT_DIM-bin luminance histogram, L2-normalized.
+
+    Luminance is explicit elementwise IEEE arithmetic (not ``pix @ vec``):
+    BLAS dot products may fuse multiply-add, which would make the value
+    bit-unreproducible in plain SQL — the DuckDB oracle for
+    doc_multimodal_features recomputes exactly ``0.299*r + 0.587*g +
+    0.114*b`` left-to-right in doubles."""
+    if pix.ndim == 3:
+        p = pix.astype(np.float64)
+        lum = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    else:
+        lum = pix
     hist = np.bincount(
         np.clip(lum.astype(np.int64) >> 2, 0, FEAT_DIM - 1).ravel(),
         minlength=FEAT_DIM,
@@ -244,6 +254,74 @@ def extract_features(attachments: DataFrame, mode: str = "fake") -> DataFrame:
             yield pdf
 
     return attachments.mapInPandas(kernel, schema=out_schema)
+
+
+#: kinds cycled by synth_payload_signal — index = doc_id % 3
+MM_KINDS = ("audio", "image", "video")
+
+
+def synth_payload_signal(doc_id: int) -> tuple[str, np.ndarray]:
+    """Deterministic pre-encode signal for a document id: the single source
+    of truth shared by the Spark query (doc_multimodal_features encodes it
+    to a real WAV/PPM container and round-trips it through the decoders)
+    and the driver's DuckDB oracle export (which writes these raw arrays to
+    parquet so the SQL side can recompute the features independently).
+
+    audio -> float64 samples in [-1, 1); image -> uint8 (H, W, 3) pixels;
+    video -> opaque bytes that no codec-free decoder can handle
+    (exercises the decode_ok=false path).
+    """
+    kind = MM_KINDS[doc_id % 3]
+    rng = np.random.default_rng(doc_id)
+    if kind == "audio":
+        n = 256 + (doc_id % 7) * 64
+        return kind, rng.uniform(-1.0, 1.0, n)
+    if kind == "image":
+        h, w = 6 + doc_id % 4, 8 + doc_id % 5
+        return kind, rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return kind, rng.integers(0, 256, 64, dtype=np.uint8)
+
+
+def synth_payload(doc_id: int) -> tuple[str, bytes]:
+    """synth_payload_signal encoded into a real container: 16-bit PCM WAV
+    for audio, binary P6 PPM for image; video gets an MPEG-PS-style magic
+    prefix so decode_media('real') raises NotImplementedError exactly like
+    a genuinely compressed payload would."""
+    kind, sig = synth_payload_signal(doc_id)
+    if kind == "audio":
+        return kind, build_wav(sig, sample_rate=8000)
+    if kind == "image":
+        return kind, build_ppm(sig)
+    return kind, b"\x00\x00\x01\xba" + sig.tobytes()
+
+
+def synth_attachments(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic media payload to every id — Arrow-batched
+    mapInPandas (binary blob construction is inherently per-payload, same
+    shape as the extraction kernel); all input columns pass through."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        docs.schema.fields
+        + [
+            StructField("kind", StringType(), False),
+            StructField("content", BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, blobs = [], []
+            for i in pdf[id_col]:
+                k, b = synth_payload(int(i))
+                kinds.append(k)
+                blobs.append(b)
+            pdf = pdf.copy()
+            pdf["kind"] = kinds
+            pdf["content"] = blobs
+            yield pdf
+
+    return docs.mapInPandas(kernel, schema=out_schema)
 
 
 def generate_attachments(spark, n: int = 100, seed: int = 42, dup_frac: float = 0.2):
