@@ -44,6 +44,12 @@ def test_hydration_and_keycache_variants_identical(spark, turns200, cfg):
         cfg.with_(hydration_join="shuffle_hash", lsh_cache_keys=False),
         cfg.with_(hydration_join="auto", lsh_cache_keys=True),
         cfg.with_(hydration_join="shuffle_hash", lsh_cache_keys=True),
+        # pair_gen_partitions inserts a round-robin exchange before the LSH
+        # pair explosion — placement only, the pair set must not move
+        # (-1 auto is the default; 0 is the fused pre-round-6 plan)
+        cfg.with_(pair_gen_partitions=0),
+        cfg.with_(pair_gen_partitions=16),
+        cfg.with_(pair_gen_partitions=3),
     ]
     fps = {_pairs_fingerprint(spark, turns200, c) for c in variants}
     assert len(fps) == 1, f"physical config changed results: {fps}"

@@ -146,6 +146,19 @@ class DedupConfig:
     # Costs O(rows x bands) executor storage (spills to disk past memory);
     # disable to trade compute for memory on storage-tight clusters.
     lsh_cache_keys: bool = True
+    # round-robin repartition of the multi-member band buckets (a small
+    # fraction of group rows) between the band groupBy and the m^2 pair
+    # explosion. Without it the explosion fuses into the groupBy reducer
+    # task, so one partition's sum(m^2) over its buckets sets the stage's
+    # critical path (the last named straggler: ~5.5 s task vs 0.9 s median
+    # at pinned 4 cores). A positive value inserts one cheap exchange of
+    # just the sz>=2 bucket rows and spreads heavy buckets independently of
+    # the band-key hash. 0 keeps the fused single-shuffle plan; -1 (the
+    # default) auto-sizes to 4 x spark.sql.shuffle.partitions (measured
+    # round 6: at the bench's T4 width that is 32 slots — wall −4% mean
+    # across three interleaved pinned pairs, T1 neutral-to-positive,
+    # decisions bit-identical).
+    pair_gen_partitions: int = -1
 
     # --- clustering ----------------------------------------------------------
     cc_max_iters: int = 50

@@ -248,9 +248,22 @@ def lsh_candidates(
             ),
         )
     )
+    buckets = groups.filter((sz >= 2) & (is_pre | (sz <= cfg.band_key_drop)))
+    n_pair_parts = cfg.pair_gen_partitions
+    if n_pair_parts < 0:
+        # auto: 4x the session shuffle width — enough round-robin slots that
+        # no slot collects several of the heavy buckets, cheap enough that
+        # the extra scheduling waves stay sub-second
+        n_pair_parts = 4 * int(
+            buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if n_pair_parts > 0:
+        # break the reducer->explode fusion so no single groupBy partition's
+        # sum(m^2) sets the critical path (see config.pair_gen_partitions);
+        # round-robin placement only — the emitted pair set is unchanged
+        buckets = buckets.repartition(n_pair_parts)
     return (
-        groups.filter((sz >= 2) & (is_pre | (sz <= cfg.band_key_drop)))
-        .select(F.explode(pair_structs).alias("p"))
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.conv_a").alias("conv_a"),
             F.col("p.conv_b").alias("conv_b"),
