@@ -98,15 +98,19 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "c
 # that the numpy ceiling probe cannot see (NOTES.md round 4 — it taxes
 # shuffle-heavy work, not cache-resident compute). Before ANY timed phase
 # (headline included) bench.py measures one pinned T4 pipeline rep; if its
-# wall exceeds CANARY_THRESH (clean band at 120k is ~65-80 s) the draw is
-# degraded, and the bench sleeps CANARY_SLEEP and re-tries up to
+# wall exceeds CANARY_THRESH the draw is considered degraded. The threshold
+# tracks the clean band + ~6%: at 120k that band is 68.3-69.8 s after the
+# round-6 pair_gen fix (round 6 watched a stale 82 s gate, calibrated to
+# the round-5 band of 77-80 s, wave an 80.9 s dirty draw through — keep the
+# threshold in step with engine speedups). On a degraded reading the bench
+# sleeps CANARY_SLEEP and re-tries up to
 # CANARY_RETRIES times before proceeding anyway. The measured value is
 # recorded as canary_t4_sec in the artifact so a reader can judge draw
 # quality without external logs. A launcher that already ran its own canary
 # (tools/bench_when_clean.sh) passes it via BENCH_CANARY_T4 to skip the
 # duplicate ~80 s rep. BENCH_CANARY=0 disables (e.g. sf0.01 smoke runs).
 CANARY = os.environ.get("BENCH_CANARY", "1") == "1"
-CANARY_THRESH = float(os.environ.get("BENCH_CANARY_THRESH", "82"))
+CANARY_THRESH = float(os.environ.get("BENCH_CANARY_THRESH", "74"))
 CANARY_RETRIES = int(os.environ.get("BENCH_CANARY_RETRIES", "2"))
 CANARY_SLEEP = float(os.environ.get("BENCH_CANARY_SLEEP", "240"))
 

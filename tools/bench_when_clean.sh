@@ -8,7 +8,7 @@ set -u
 cd /root/repo
 LOG=${LOG:-/tmp/r06_bench_loop.log}
 OUT=${OUT:-/root/repo/BENCH/builder_run_r06_A.json}
-THRESH=${THRESH:-82}
+THRESH=${THRESH:-74}
 for i in $(seq 1 28); do
   w=$(python - <<'PY'
 import sys
