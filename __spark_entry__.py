@@ -1175,6 +1175,21 @@ def _ivf_export_paths() -> tuple[str, str, str]:
     return base + "_assign.parquet", base + "_probe.parquet", emb
 
 
+def _pq_write_atomic(table, path: str) -> None:
+    """Parquet write via tmp file + atomic rename. The oracle-export caches
+    key on file EXISTENCE, so a write interrupted mid-flight must never leave
+    a partial file at the final path."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path) or "/tmp")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
 def _ensure_ivf_export() -> tuple[str, str]:
     """Compute the IVF quantizer artifacts with the pure-numpy mirror
     (embeddings.ivf_probe_artifacts_numpy) and export them once. The mirror
@@ -1207,12 +1222,14 @@ def _ensure_ivf_export() -> tuple[str, str]:
             n_iters=p["n_iters"],
             seed=p["seed"],
         )
-        pq.write_table(
+        qids = ids[qmask]
+        # tmp-write + atomic rename: a process killed mid-write must not
+        # leave a partial file that passes the all-exist check next run
+        _pq_write_atomic(
             pa.table({"vec_id": ids, "cluster": assigns.astype(np.int32)}),
             a_path,
         )
-        qids = ids[qmask]
-        pq.write_table(
+        _pq_write_atomic(
             pa.table(
                 {
                     "qid": np.repeat(qids, probes.shape[1]),
@@ -1357,9 +1374,12 @@ def _ensure_mm_export() -> tuple[str, str, str]:
             i_r.extend(int(v) for v in flat[:, 0])
             i_g.extend(int(v) for v in flat[:, 1])
             i_b.extend(int(v) for v in flat[:, 2])
-    pq.write_table(pa.table({"doc_id": m_doc, "kind": m_kind}), man)
-    pq.write_table(pa.table({"doc_id": a_doc, "idx": a_idx, "ival": a_val}), aud)
-    pq.write_table(
+    # tmp-write + atomic rename (same crash-safety as _ensure_sig_export): a
+    # kill between (or inside) these writes must not leave a partial file set
+    # that passes the all-exist check and poisons the oracle export
+    _pq_write_atomic(pa.table({"doc_id": m_doc, "kind": m_kind}), man)
+    _pq_write_atomic(pa.table({"doc_id": a_doc, "idx": a_idx, "ival": a_val}), aud)
+    _pq_write_atomic(
         pa.table({"doc_id": i_doc, "idx": i_idx, "r": i_r, "g": i_g, "b": i_b}), img
     )
     return man, aud, img

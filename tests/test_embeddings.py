@@ -143,6 +143,11 @@ def test_real_decode_ppm_roundtrip():
     # header comments parse too
     commented = ppm.replace(b"P6\n", b"P6\n# a comment line\n", 1)
     assert np.array_equal(decode_ppm(commented), pix)
+    # trailing bytes (padded / concatenated containers) are tolerated — the
+    # same policy decode_wav applies; truncation still fails loudly
+    assert np.array_equal(decode_ppm(ppm + b"\x00" * 7), pix)
+    with pytest.raises(ValueError):
+        decode_ppm(ppm[:-1])
     feat = decode_media("image", ppm, mode="real")
     assert len(feat) == 64 and abs(float(np.linalg.norm(feat)) - 1.0) < 1e-5
 

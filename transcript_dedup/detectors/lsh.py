@@ -254,9 +254,13 @@ def lsh_candidates(
         # auto: 4x the session shuffle width — enough round-robin slots that
         # no slot collects several of the heavy buckets, cheap enough that
         # the extra scheduling waves stay sub-second
-        n_pair_parts = 4 * int(
-            buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        try:
+            n_pair_parts = 4 * int(
+                buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            # conf can be non-numeric (e.g. "auto" under some AQE setups)
+            n_pair_parts = 4 * buckets.sparkSession.sparkContext.defaultParallelism
     if n_pair_parts > 0:
         # break the reducer->explode fusion so no single groupBy partition's
         # sum(m^2) sets the critical path (see config.pair_gen_partitions);

@@ -123,7 +123,10 @@ def decode_ppm(content: bytes) -> np.ndarray:
     if maxval > 255:
         raise ValueError("16-bit PPM/PGM not supported")
     n = w * h * (3 if is_rgb else 1)
-    if len(content) - pos != n:
+    # reject truncation only; tolerate trailing bytes (padded / concatenated
+    # containers) — the same policy decode_wav applies to RIFF payloads, so
+    # the two decoders agree on tolerance
+    if len(content) - pos < n:
         raise ValueError(
             f"PPM/PGM: raster is {len(content) - pos} bytes, expected {n} "
             f"for {w}x{h}x{3 if is_rgb else 1}"
