@@ -40,9 +40,13 @@ code cannot always reach the ideal speedup; the probe quantifies the
 ceiling per window and the JSON reports engine efficiency both raw and
 relative to it.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (headline total + per-query + scaling medians
++ canary provenance; round-7 — the round-6 line embedded full per-window
+detail and outgrew the driver's stdout tail capture):
   {"metric": ..., "value": <total headline sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "dedup": {...scaling fields...}}
+   "queries": {name: sec}, "sf": ..., "dedup": {...scaling medians...,
+   "detail_file": "BENCH/bench_detail_<ts>.json"}}
+Full per-window walls/probes/discards land in the detail_file.
 """
 
 from __future__ import annotations
@@ -94,25 +98,82 @@ WINDOW_SPREAD = float(os.environ.get("BENCH_WINDOW_SPREAD", "0.15"))
 # (measured: pinned levels saturate their CPU set at ~95%).
 PIN_CPUS = os.environ.get("BENCH_PIN", "1") == "1"
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "cache")
-# ---- canary gate (round-6): the host suffers multi-hour degraded stretches
-# that the numpy ceiling probe cannot see (NOTES.md round 4 — it taxes
-# shuffle-heavy work, not cache-resident compute). Before ANY timed phase
-# (headline included) bench.py measures one pinned T4 pipeline rep; if its
-# wall exceeds CANARY_THRESH the draw is considered degraded. The threshold
-# tracks the clean band + ~6%: at 120k that band is 68.3-69.8 s after the
-# round-6 pair_gen fix (round 6 watched a stale 82 s gate, calibrated to
-# the round-5 band of 77-80 s, wave an 80.9 s dirty draw through — keep the
-# threshold in step with engine speedups). On a degraded reading the bench
-# sleeps CANARY_SLEEP and re-tries up to
+# ---- canary gate (round-6, rederived round-7): the host suffers multi-hour
+# degraded stretches that the numpy ceiling probe cannot see (NOTES.md round
+# 4 — it taxes shuffle-heavy work, not cache-resident compute). Before ANY
+# timed phase (headline included) bench.py measures one pinned T4 pipeline
+# rep; if its wall exceeds the canary threshold the draw is considered
+# degraded. Round-7 changes (judge items #1/#3):
+#   * the threshold is DERIVED, not a hand-chased constant: rolling min of
+#     the last CANARY_BAND_KEEP clean pinned-T4 readings (canaries, window
+#     hi reps, re-probes) x CANARY_BAND_MARGIN, persisted per
+#     (convs x cores) in BENCH/canary_band.json; provenance is recorded in
+#     the artifact (round 6's stale 82 s constant waved an 80.9 s dirty
+#     draw through a full set). BENCH_CANARY_THRESH still overrides.
+#   * each protocol window is RE-PROBED after it completes (degradation
+#     arrived mid-set in every round-6 set, defeating the start-of-set
+#     gate); a window whose re-probe exceeds the gate is discarded and
+#     re-run (value-BLIND: keyed on the probe reading only, never on the
+#     window's efficiency), up to BENCH_REPROBE_RETRIES re-runs per set.
+# On a degraded reading the bench sleeps CANARY_SLEEP and re-tries up to
 # CANARY_RETRIES times before proceeding anyway. The measured value is
 # recorded as canary_t4_sec in the artifact so a reader can judge draw
 # quality without external logs. A launcher that already ran its own canary
-# (tools/bench_when_clean.sh) passes it via BENCH_CANARY_T4 to skip the
-# duplicate ~80 s rep. BENCH_CANARY=0 disables (e.g. sf0.01 smoke runs).
+# (tools/bench_when_clean.sh) passes it via BENCH_CANARY_T4 (+ the THRESH it
+# gated on via BENCH_CANARY_THRESH, so artifact labels match the actual
+# gate) to skip the duplicate ~60-80 s rep. BENCH_CANARY=0 disables.
 CANARY = os.environ.get("BENCH_CANARY", "1") == "1"
-CANARY_THRESH = float(os.environ.get("BENCH_CANARY_THRESH", "74"))
 CANARY_RETRIES = int(os.environ.get("BENCH_CANARY_RETRIES", "2"))
 CANARY_SLEEP = float(os.environ.get("BENCH_CANARY_SLEEP", "240"))
+REPROBE_RETRIES = int(os.environ.get("BENCH_REPROBE_RETRIES", "2"))
+CANARY_BAND_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "canary_band.json"
+)
+CANARY_BAND_KEEP = 12
+CANARY_BAND_MARGIN = 1.08
+CANARY_DEFAULT_THRESH = 74.0
+
+
+def _band_key() -> str:
+    return f"{BENCH_CONVS}x{SCALE_HI}pin{int(PIN_CPUS)}"
+
+
+def _load_band() -> list[float]:
+    try:
+        with open(CANARY_BAND_FILE) as f:
+            d = json.load(f)
+        return list(d["walls"]) if d.get("key") == _band_key() else []
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def _append_band(walls: list[float]) -> None:
+    """Record fresh clean pinned-T4 readings (newest last, keep the tail) —
+    the next run's threshold derives from these."""
+    if not walls:
+        return
+    prev = _load_band()
+    merged = (prev + [round(w, 2) for w in walls])[-CANARY_BAND_KEEP:]
+    os.makedirs(os.path.dirname(CANARY_BAND_FILE), exist_ok=True)
+    tmp = CANARY_BAND_FILE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"key": _band_key(), "walls": merged}, f)
+    os.replace(tmp, CANARY_BAND_FILE)
+
+
+def _canary_threshold() -> tuple[float, str]:
+    """(threshold_sec, provenance) — env override, else rolling-min of the
+    recorded clean band x margin, else the static default."""
+    env = os.environ.get("BENCH_CANARY_THRESH")
+    if env:
+        return float(env), "env:BENCH_CANARY_THRESH"
+    band = _load_band()
+    if band:
+        return (
+            round(min(band) * CANARY_BAND_MARGIN, 1),
+            f"rolling_min({len(band)})x{CANARY_BAND_MARGIN}",
+        )
+    return CANARY_DEFAULT_THRESH, "default"
 
 HEADLINE = [
     "doc_dedup_components",
@@ -247,20 +308,31 @@ def main() -> None:
 
     corpus = _ensure_corpus(BENCH_CONVS)
     results: dict[str, float] = {}
+    canary_thresh, thresh_src = _canary_threshold()
+    band_updates: list[float] = []  # clean pinned-T4 readings observed this run
+
+    def _t4_probe() -> float:
+        _warm(corpus)
+        w = float(_run_pipeline_subprocess(SCALE_HI, corpus)["wall_sec"])
+        if w < canary_thresh:
+            band_updates.append(w)
+        return w
 
     # canary gate — see the CANARY block up top. Runs before the headline
     # phase so BOTH timed phases sit inside the vetted window.
     canary_t4 = None
+    canary_src = None
     if os.environ.get("BENCH_CANARY_T4"):
         canary_t4 = float(os.environ["BENCH_CANARY_T4"])
+        canary_src = "launcher"
     elif CANARY:
+        canary_src = "bench"
         for attempt in range(CANARY_RETRIES + 1):
-            _warm(corpus)
-            canary_t4 = float(_run_pipeline_subprocess(4, corpus)["wall_sec"])
-            if canary_t4 < CANARY_THRESH or attempt == CANARY_RETRIES:
+            canary_t4 = _t4_probe()
+            if canary_t4 < canary_thresh or attempt == CANARY_RETRIES:
                 break
             print(
-                f"canary T4={canary_t4:.1f}s >= {CANARY_THRESH}s — host degraded, "
+                f"canary T4={canary_t4:.1f}s >= {canary_thresh}s — host degraded, "
                 f"retry {attempt + 1}/{CANARY_RETRIES} after {CANARY_SLEEP:.0f}s",
                 file=sys.stderr,
             )
@@ -297,6 +369,7 @@ def main() -> None:
     # the window's raw efficiency and its own-draw ceiling come from the
     # same VM stretch. Headline = per-window MEDIANS.
     windows: list[dict] = []
+    discarded: list[dict] = []
     decisions = set()
 
     def _one_window() -> dict:
@@ -356,7 +429,9 @@ def main() -> None:
             "convs": lo["convs"],
             "decisions": lo["decisions"],
         }
-        windows.append(w)
+        for hw in hi_walls:
+            if hw < canary_thresh:
+                band_updates.append(hw)
         return w
 
     def _median(xs: list[float]) -> float:
@@ -368,11 +443,51 @@ def main() -> None:
     def _spread(xs: list[float]) -> float:
         return (max(xs) - min(xs)) / min(xs) if xs else 0.0
 
+    # per-window canary re-probe with VALUE-BLIND retry (round-7): every
+    # round-6 set was sunk by host degradation arriving AFTER the start-of-
+    # set canary. After each window completes, one more pinned T4 rep
+    # re-samples host state; a window whose re-probe exceeds the gate is
+    # discarded and re-run (bounded by REPROBE_RETRIES per set). The retry
+    # decision reads ONLY the probe wall — never the window's efficiency —
+    # so the estimator stays unbiased; discarded windows are preserved in
+    # the detail artifact for audit.
+    reprobe_budget = REPROBE_RETRIES if CANARY else 0
+
+    def _vetted_window() -> None:
+        nonlocal reprobe_budget
+        while True:
+            w = _one_window()
+            if reprobe_budget <= 0 and CANARY:
+                w["reprobe_t4_sec"] = None  # budget spent: accept unprobed
+                windows.append(w)
+                return
+            if not CANARY:
+                windows.append(w)
+                return
+            probe = _t4_probe()
+            w["reprobe_t4_sec"] = round(probe, 2)
+            w["reprobe_clean"] = probe < canary_thresh
+            if w["reprobe_clean"]:
+                windows.append(w)
+                return
+            reprobe_budget -= 1
+            discarded.append(w)
+            print(
+                f"window re-probe T4={probe:.1f}s >= {canary_thresh}s — "
+                f"discarding window (value-blind), waiting for the stretch "
+                f"to lift ({reprobe_budget} retries left)",
+                file=sys.stderr,
+            )
+            for _ in range(CANARY_RETRIES):
+                time.sleep(CANARY_SLEEP)
+                if _t4_probe() < canary_thresh:
+                    break
+
     for _ in range(max(WINDOWS, 1)):
-        _one_window()
+        _vetted_window()
     # dispersion-triggered extension (see WINDOW_SPREAD comment above)
     while len(windows) < MAX_WINDOWS and _spread([w["raw"] for w in windows]) > WINDOW_SPREAD:
-        _one_window()
+        _vetted_window()
 
     eff = round(_median([w["raw"] for w in windows]), 3)
     # a window whose ceiling probe failed (falsy probe) carries vs_ceiling
@@ -381,6 +496,39 @@ def main() -> None:
     vs_ceiling = round(_median(vs_vals), 3) if vs_vals else None
     best = max(windows, key=lambda w: w["raw"])
 
+    # per-window detail goes to a side file; the printed summary line stays
+    # COMPACT (round-7, judge item #1: the round-6 line outgrew the driver's
+    # stdout tail capture and arrived truncated — parsed: null)
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(detail_dir, exist_ok=True)
+    detail_file = os.path.join(
+        detail_dir, f"bench_detail_{time.strftime('%Y%m%dT%H%M%S')}.json"
+    )
+    with open(detail_file, "w") as f:
+        json.dump(
+            {
+                "windows": windows,
+                "discarded_windows": discarded,
+                "queries": results,
+                "canary": {
+                    "t4_sec": canary_t4,
+                    "threshold_sec": canary_thresh,
+                    "threshold_source": thresh_src,
+                    "source": canary_src,
+                },
+                "env": {
+                    "convs": BENCH_CONVS,
+                    "scale_lo": SCALE_LO,
+                    "scale_hi": SCALE_HI,
+                    "pinned": PIN_CPUS,
+                    "sf_dir": SF_DIR,
+                },
+            },
+            f,
+            indent=1,
+        )
+    _append_band(band_updates)
+
     out = {
         "metric": "headline_suite_plus_dedup_scaling",
         "value": round(sum(results.values()), 3),
@@ -388,25 +536,29 @@ def main() -> None:
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "canary_t4_sec": canary_t4,
-        "canary_threshold_sec": CANARY_THRESH if canary_t4 is not None else None,
-        "canary_clean": (canary_t4 < CANARY_THRESH) if canary_t4 is not None else None,
+        "canary_threshold_sec": canary_thresh if canary_t4 is not None else None,
+        "canary_threshold_source": thresh_src if canary_t4 is not None else None,
+        "canary_clean": (canary_t4 < canary_thresh) if canary_t4 is not None else None,
         "dedup": {
             "corpus_convs": windows[0]["convs"],
             "decisions": windows[0]["decisions"],
             "decisions_identical_across_levels": len(decisions) == 1,
             "cores_hi": SCALE_HI,
             "cores_lo": SCALE_LO,
-            "protocol": "median over bracketed pinned windows",
+            "protocol": "median over bracketed pinned windows, per-window canary re-probe",
             "n_windows": len(windows),
-            "windows": windows,
+            "n_discarded_by_reprobe": len(discarded),
+            "reprobe_t4_secs": [w.get("reprobe_t4_sec") for w in windows],
             "wall_sec_hi_runs": [w["wall_sec_hi"] for w in windows],
             "wall_sec_lo_runs": [w["wall_sec_lo"] for w in windows],
             "scaling_efficiency": eff,
             "scaling_efficiency_windows": [w["raw"] for w in windows],
-            "hardware_ceiling_probes": [c for w in windows for c in w["ceiling_probes"]],
             "efficiency_vs_ceiling": vs_ceiling,
             "efficiency_vs_ceiling_windows": [w["vs_ceiling"] for w in windows],
             "best_window": {"raw": best["raw"], "vs_ceiling": best["vs_ceiling"]},
+            "detail_file": os.path.relpath(
+                detail_file, os.path.dirname(os.path.abspath(__file__))
+            ),
         },
     }
     print(json.dumps(out))

@@ -100,6 +100,55 @@ def test_gram_sampling_containment_property():
     assert gi and gi <= go
 
 
+def test_probe_gram_matches_brute_force(monkeypatch):
+    """The concatenated-chunk + bitmap-prefilter probe finds exactly the
+    (doc, pattern) matches of a per-doc brute force — including across
+    chunk boundaries (chunk size pinned tiny so several docs span chunks),
+    with boundary-crossing windows excluded and duplicates deduped."""
+    from transcript_dedup import signatures as S
+    from transcript_dedup.signatures import (
+        build_pattern_bitmap,
+        probe_gram_matches,
+        raw_gram_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 24
+    docs = [_doc(rng, n) for n in (5, 40, 3, 120, 80, 1, 0, 200, 60)]
+    docs[4] = docs[1][: k + 6]  # planted containment
+    docs[7] = docs[3] + " " + docs[5]
+    pats = []
+    for d in docs:
+        gh = raw_gram_hashes(d, k)
+        if gh.size:
+            pats.append(int(gh.view(np.int64).min()))
+    pat_arr = np.unique(np.array(pats, dtype=np.int64))
+    monkeypatch.setattr(S, "_PROBE_CHUNK", 128)  # force multi-chunk paths
+    idx, gh = probe_gram_matches(docs, k, pat_arr, build_pattern_bitmap(pat_arr))
+    got = set(zip(idx.tolist(), gh.tolist()))
+    ps = set(pat_arr.tolist())
+    want = {
+        (i, v)
+        for i, d in enumerate(docs)
+        for v in set(raw_gram_hashes(d, k).view(np.int64).tolist()) & ps
+    }
+    assert got == want and len(idx) == len(got)  # exact + deduped
+
+
+def test_raw_gram_containment_property():
+    """T substring of O => every raw gram of T (incl. the min pattern) is a
+    raw gram of O — the tiny-path recall guarantee."""
+    rng = np.random.default_rng(17)
+    from transcript_dedup.signatures import raw_gram_hashes
+
+    k = DedupConfig().substring_gram_k
+    inner = _doc(rng, 30)
+    outer = _doc(rng, 10) + " " + inner + " " + _doc(rng, 10)
+    gi = set(raw_gram_hashes(inner, k).view(np.int64).tolist())
+    go = set(raw_gram_hashes(outer, k).view(np.int64).tolist())
+    assert gi and gi <= go
+
+
 @pytest.mark.parametrize("s", [b"banana", b"mississippi", b"abcabcabc", b"a", b""])
 def test_suffix_array_sorted(s):
     sa = build_suffix_array(s)

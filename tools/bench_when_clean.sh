@@ -1,22 +1,31 @@
 #!/bin/bash
-# Canary-gated bench launcher (round-5): the host suffers multi-hour degraded
-# stretches that ceiling probes cannot see (NOTES.md round 4). Loop a pinned
-# T4 canary; when it reads inside the clean band (<82 s at 120k), run the
-# full bracketed window-median bench and archive it. Sentinel file guards
-# against concurrent Spark work contaminating the measurement.
+# Canary-gated bench launcher (round-5, rederived round-7): the host suffers
+# multi-hour degraded stretches that ceiling probes cannot see (NOTES.md
+# round 4). Loop a pinned T4 canary; when it reads inside the clean band,
+# run the full bracketed window-median bench and archive it. Sentinel file
+# guards against concurrent Spark work contaminating the measurement.
+#
+# THRESH defaults to bench.py's derived threshold (rolling min of the
+# recorded clean band x margin — BENCH/canary_band.json), so the gate tracks
+# engine speedups instead of being a hand-recalibrated constant. The
+# threshold is exported as BENCH_CANARY_THRESH alongside BENCH_CANARY_T4 so
+# bench.py labels draw quality against the SAME gate the launcher used.
 set -u
 cd /root/repo
-LOG=${LOG:-/tmp/r06_bench_loop.log}
-OUT=${OUT:-/root/repo/BENCH/builder_run_r06_A.json}
-THRESH=${THRESH:-74}
+LOG=${LOG:-/tmp/r07_bench_loop.log}
+OUT=${OUT:-/root/repo/BENCH/builder_run_r07_A.json}
+THRESH=${THRESH:-$(python -c "
+import sys; sys.path.insert(0, '.')
+import bench
+print(bench._canary_threshold()[0])")}
 for i in $(seq 1 28); do
   w=$(python - <<'PY'
 import sys
 sys.path.insert(0, '.')
 import bench
-corpus = bench._ensure_corpus(120000)
+corpus = bench._ensure_corpus(bench.BENCH_CONVS)
 bench._warm(corpus)
-r = bench._run_pipeline_subprocess(4, corpus)
+r = bench._run_pipeline_subprocess(bench.SCALE_HI, corpus)
 print(r["wall_sec"])
 PY
 )
@@ -26,8 +35,10 @@ PY
     echo "$(date -u +%H:%M:%S) host clean -> starting full bench" >> "$LOG"
     touch /tmp/BENCH_RUNNING
     # pass the canary we just measured so bench.py records it instead of
-    # spending another ~80 s re-measuring (round-6: canary_t4_sec field)
-    BENCH_WINDOWS=${BENCH_WINDOWS:-3} BENCH_CANARY_T4="$w" python bench.py > "$OUT" 2>/tmp/r06_bench_err.log
+    # spending another ~60-80 s re-measuring, AND the threshold it was
+    # gated on so the artifact's canary_clean reflects the actual gate
+    BENCH_WINDOWS=${BENCH_WINDOWS:-3} BENCH_CANARY_T4="$w" \
+      BENCH_CANARY_THRESH="$THRESH" python bench.py > "$OUT" 2>/tmp/r07_bench_err.log
     rc=$?
     rm -f /tmp/BENCH_RUNNING
     echo "$(date -u +%H:%M:%S) bench done rc=$rc -> $OUT" >> "$LOG"

@@ -113,9 +113,14 @@ def _tiny_pairs(
          containment of T in O implies every raw gram of T, including that
          one, occurs in O;
       2. one vectorized Arrow pass over the corpus computes each doc's raw
-         (unsampled) gram-hash set — the same polynomial machinery as the
-         signature kernel — and probes the broadcast sorted pattern array
-         (np.isin), emitting the rare (doc, pattern-hash) matches;
+         (unsampled) gram hashes — the same polynomial machinery as the
+         signature kernel, minus the splitmix/unique passes equality
+         matching doesn't need — as ONE concatenated rolling-hash pass per
+         ~2 MiB of batch text, prefilters positions with a low-bits bitmap
+         of the broadcast pattern array, and exact-checks the rare
+         survivors (signatures.probe_gram_matches; ~10x less compute than
+         the per-doc np.isin probe it replaced), emitting the rare
+         (doc, pattern-hash) matches;
       3. matches join the tiny pattern table -> candidate pairs; the
          downstream verify (suffix array / instr) makes them exact, so hash
          collisions and pattern fan-out cost only compute, never wrong
@@ -155,7 +160,7 @@ def _tiny_pairs(
 
     import numpy as np
 
-    from ..signatures import sampled_gram_hashes
+    from ..signatures import build_pattern_bitmap, probe_gram_matches, raw_gram_hashes
 
     k = cfg.substring_gram_k
     long_rows = [(r["t_id"], r["t_text"]) for r in rows if len(r["t_text"]) >= k]
@@ -165,13 +170,15 @@ def _tiny_pairs(
 
     out = empty
     if long_rows:
-        # one min raw gram per fallback doc (mod=1 -> every gram). Min is
-        # taken in two's-complement (int64 view) space — the SAME value space
-        # the probe kernel emits — because a uint64 min with the top bit set
-        # overflows the int64 createDataFrame/np.array path. Any raw gram of
-        # T is a valid pattern, so signed-order min is just as good.
+        # one min raw gram per fallback doc (raw = every gram, no sampling).
+        # Min is taken in two's-complement (int64 view) space — the SAME
+        # value space the probe kernel emits — because a uint64 min with the
+        # top bit set overflows the int64 createDataFrame/np.array path. Any
+        # raw gram of T is a valid pattern, so signed-order min is just as
+        # good. (raw_gram_hashes, not sampled mod=1: same polynomial, but
+        # skips the splitmix + unique-sort passes neither side needs.)
         patterns = [
-            (t_id, int(sampled_gram_hashes(t, k, 1).view(np.int64).min()))
+            (t_id, int(raw_gram_hashes(t, k).view(np.int64).min()))
             for t_id, t in long_rows
         ]
         pat_arr = np.unique(np.array([h for _, h in patterns], dtype=np.int64))
@@ -182,17 +189,17 @@ def _tiny_pairs(
         def probe(batches):
             import pandas as pd  # noqa: F811 (worker-side import)
 
+            # bitmap prefilter built once per task from the broadcast
+            # pattern array (4 Mbit; ~ms)
+            bitmap = build_pattern_bitmap(pat_arr)
             for pdf in batches:
-                oids, ghs = [], []
-                for o_id, text in zip(pdf["cid"], pdf["norm_text"]):
-                    gh = sampled_gram_hashes(text, k, 1).view(np.int64)
-                    hit = gh[np.isin(gh, pat_arr)]
-                    oids.extend([o_id] * hit.size)
-                    ghs.extend(hit.tolist())
+                idx, gh = probe_gram_matches(
+                    pdf["norm_text"].tolist(), k, pat_arr, bitmap
+                )
                 yield pd.DataFrame(
                     {
-                        "o_id": pd.array(oids, dtype="int64"),
-                        "gh": pd.array(ghs, dtype="int64"),
+                        "o_id": pdf["cid"].to_numpy()[idx],
+                        "gh": pd.array(gh, dtype="int64"),
                     }
                 )
 

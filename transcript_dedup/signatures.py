@@ -134,25 +134,25 @@ def shingle_hashes(norm_text: str, k: int) -> np.ndarray:
     Docs with fewer than k tokens yield one shingle (all tokens combined);
     empty docs yield none.
     """
-    tok = _token_hashes(norm_text)
+    return shingle_hashes_from_tokens(_token_hashes(norm_text), k)
+
+
+def shingle_hashes_from_tokens(tok: np.ndarray, k: int) -> np.ndarray:
+    """shingle_hashes on precomputed token hashes — the signature kernel
+    computes _token_hashes once per doc and feeds both this and
+    simhash64_from_tokens (the token pass was being paid twice)."""
     m = tok.size
     if m == 0:
         return np.empty(0, dtype=np.uint64)
     kk = min(k, m)
+    # shared power table (bit-identical to the per-call cumprods it
+    # replaced — same cumprod of the same constants; the two per-call
+    # cumprods plus a bigint pow were a measurable slice of the kernel)
+    pw, ipw = _powers(1, m)
     with np.errstate(over="ignore"):
-        qpw = np.empty(m, dtype=np.uint64)
-        qpw[0] = _U64(1)
-        if m > 1:
-            np.cumprod(np.full(m - 1, _POLY_Q, dtype=np.uint64), out=qpw[1:])
         s = np.zeros(m + 1, dtype=np.uint64)
-        np.cumsum(tok * qpw, out=s[1:])
-        iq = _U64(pow(int(_POLY_Q), -1, 1 << 64))
-        iqpw = np.empty(m, dtype=np.uint64)
-        iqpw[0] = _U64(1)
-        if m > 1:
-            np.cumprod(np.full(m - 1, iq, dtype=np.uint64), out=iqpw[1:])
-        starts = np.arange(0, m - kk + 1, dtype=np.int64)
-        h = (s[starts + kk] - s[starts]) * iqpw[starts]
+        np.cumsum(tok * pw[:m], out=s[1:])
+        h = (s[kk:] - s[: m - kk + 1]) * ipw[: m - kk + 1]
         return np.unique(_splitmix64(h))
 
 
@@ -188,14 +188,23 @@ def minhash_signature(
 
 def simhash64(norm_text: str) -> np.uint64:
     """Weighted 64-bit SimHash over token unigrams (vectorized)."""
-    th = _token_hashes(norm_text)
+    return simhash64_from_tokens(_token_hashes(norm_text))
+
+
+def simhash64_from_tokens(th: np.ndarray) -> np.uint64:
+    """simhash64 on precomputed token hashes (see shingle_hashes_from_tokens)."""
     if th.size == 0:
         return _U64(0)
-    h, counts = np.unique(th, return_counts=True)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
-        np.int64
+    # bit j of every token hash via one C-side byte unpack (LSB-first)
+    # instead of a (tokens x 64) shift/compare matrix. Vote sums are
+    # identical to the unique+counts formulation it replaced:
+    # sum_unique (2*bit-1)*count == 2*popcount_j(all tokens) - n_tokens.
+    bits = np.unpackbits(
+        th.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
     )
-    votes = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(th.size)
     packed = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
     return np.frombuffer(packed.tobytes(), dtype="<u8")[0]
 
@@ -214,22 +223,113 @@ def sampled_gram_hashes(norm_text: str, k: int, mod: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # shared power table — bit-identical to the per-call cumprods + bigint
+    # pow it replaced (same cumprod of the same constants)
+    pw, ipw = _powers(0, n)
     with np.errstate(over="ignore"):
-        pw = np.empty(n, dtype=np.uint64)
-        pw[0] = _U64(1)
-        if n > 1:
-            np.cumprod(np.full(n - 1, _POLY_P, dtype=np.uint64), out=pw[1:])
         s = np.zeros(n + 1, dtype=np.uint64)
-        np.cumsum(x * pw, out=s[1:])
-        inv = _U64(pow(int(_POLY_P), -1, 1 << 64))
-        ipw = np.empty(n, dtype=np.uint64)
-        ipw[0] = _U64(1)
-        if n > 1:
-            np.cumprod(np.full(n - 1, inv, dtype=np.uint64), out=ipw[1:])
-        starts = np.arange(0, n - k + 1, dtype=np.int64)
-        h = _splitmix64((s[starts + k] - s[starts]) * ipw[starts])
+        np.cumsum(x * pw[:n], out=s[1:])
+        h = _splitmix64((s[k:] - s[: n - k + 1]) * ipw[: n - k + 1])
     sel = h[h % _U64(mod) == _U64(0)]
     return np.unique(sel)
+
+
+def raw_gram_hashes(norm_text: str, k: int) -> np.ndarray:
+    """ALL raw k-byte-gram polynomial hashes of one doc, position-normalized,
+    in text order (uint64; duplicates kept, no splitmix finalizer, no sort —
+    the substring tiny-path needs equality matching only, so collision
+    resistance of the 64-bit polynomial is enough and the avalanche +
+    unique-sort passes are skipped). Pattern side and probe side of
+    probe_gram_matches both live in this value space."""
+    data = norm_text.encode("utf-8")
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pw, ipw = _powers(0, n)
+    with np.errstate(over="ignore"):
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(x * pw[:n], out=s[1:])
+        return (s[k:] - s[: n - k + 1]) * ipw[: n - k + 1]
+
+
+_PROBE_BITMAP_BITS = 22  # 4 Mbit presence filter on the hash low bits
+_PROBE_CHUNK = 1 << 21  # bytes of concatenated text per rolling-hash pass
+
+
+def build_pattern_bitmap(pat_arr: np.ndarray) -> np.ndarray:
+    """Low-bits presence bitmap over a sorted int64 pattern array — the
+    cheap prefilter probe_gram_matches consults before the exact
+    searchsorted check (tiny-path patterns are capped at 10^4, so ~0.2% of
+    corpus gram positions survive the filter)."""
+    bm = np.zeros(1 << _PROBE_BITMAP_BITS, dtype=bool)
+    mask = _U64((1 << _PROBE_BITMAP_BITS) - 1)
+    bm[(pat_arr.view(np.uint64) & mask).astype(np.int64)] = True
+    return bm
+
+
+def probe_gram_matches(
+    texts: list, k: int, pat_arr: np.ndarray, bitmap: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row indices, matched hashes int64) for every raw k-gram of `texts`
+    whose hash is in the sorted int64 `pat_arr`.
+
+    One concatenated rolling-hash pass per ~2 MiB chunk of docs (amortizes
+    the per-doc numpy call overhead; the power table is shared via _powers,
+    bounded by the chunk size) + the low-bits bitmap prefilter, then the
+    exact searchsorted membership check on the few survivors. Windows that
+    cross a doc boundary inside the chunk are discarded AFTER candidate
+    selection (they're ~(k-1)/chunk of positions; cheaper to drop the rare
+    bitmap survivors than to mask every window). (row, pattern) duplicates
+    are deduped here so the downstream join sees one row per match."""
+    P = pat_arr.size
+    mask = _U64((1 << _PROBE_BITMAP_BITS) - 1)
+    out_idx: list[np.ndarray] = []
+    out_gh: list[np.ndarray] = []
+    enc = [t.encode("utf-8") for t in texts]
+    i = 0
+    while i < len(enc):
+        j, total = i, 0
+        while j < len(enc) and (total == 0 or total + len(enc[j]) <= _PROBE_CHUNK):
+            total += len(enc[j])
+            j += 1
+        chunk = enc[i:j]
+        lens = np.array([len(e) for e in chunk], dtype=np.int64)
+        buf = b"".join(chunk)
+        n = len(buf)
+        base = i
+        i = j
+        if n < k:
+            continue
+        x = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        pw, ipw = _powers(0, n)
+        with np.errstate(over="ignore"):
+            s = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(x * pw[:n], out=s[1:])
+            h = (s[k:] - s[: n - k + 1]) * ipw[: n - k + 1]
+            cand = np.flatnonzero(bitmap[(h & mask).astype(np.int64)])
+        if cand.size == 0:
+            continue
+        g = h[cand].view(np.int64)
+        pos = np.searchsorted(pat_arr, g)
+        np.minimum(pos, P - 1, out=pos)
+        exact = pat_arr[pos] == g
+        cand, g, pos = cand[exact], g[exact], pos[exact]
+        if cand.size == 0:
+            continue
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        d = np.searchsorted(starts, cand, side="right") - 1
+        inside = cand + k <= starts[d + 1]  # window fits within its doc
+        d, g, pos = d[inside], g[inside], pos[inside]
+        if d.size == 0:
+            continue
+        # dedup (doc, pattern) pairs: doc index < 2^40, pattern index < 2^24
+        key = np.unique((d.astype(np.uint64) << _U64(24)) | pos.astype(np.uint64))
+        out_idx.append((key >> _U64(24)).astype(np.int64) + base)
+        out_gh.append(pat_arr[(key & _U64((1 << 24) - 1)).astype(np.int64)])
+    if not out_idx:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_idx), np.concatenate(out_gh)
 
 
 def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -248,9 +348,10 @@ def band_tuples(sig: np.ndarray, bands: int, rows: int) -> list[tuple]:
 
 def compute_signature_row(norm_text: str, cfg: DedupConfig, a: np.ndarray, b: np.ndarray):
     """(minhash int list, simhash int64, n_shingles int) for one doc."""
-    sh = shingle_hashes(norm_text, cfg.shingle_k)
+    th = _token_hashes(norm_text)  # one token pass feeds shingles AND simhash
+    sh = shingle_hashes_from_tokens(th, cfg.shingle_k)
     sig = minhash_signature(sh, a, b, cfg.minhash_width)
-    sim = int(simhash64(norm_text))
+    sim = int(simhash64_from_tokens(th))
     if sim >= 1 << 63:  # two's-complement into Spark LongType
         sim -= 1 << 64
     grams = sampled_gram_hashes(norm_text, cfg.substring_gram_k, cfg.substring_mod)
