@@ -60,13 +60,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 120k keeps the whole bench (2 symmetric reps x 2 levels + bracketing
-# ceiling probes) inside the same ~12-15 min budget the round-2 bench used.
-# Throughput is corpus-size-independent in this range (measured 2,734
-# conv/s at 120k vs 2,688 at 240k on 8 cores), and the fixed-cost share is
-# LARGER at 120k, so the reported scaling ratio is the conservative one —
-# BENCH_CONVS=240000 reproduces the round-2 scale.
-BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "120000"))
+# 240k (round-7; was 120k through round 6): the round-7 engine removed
+# ~50 core-s/120k of kernel+probe compute, which shrank the pinned-T4 wall
+# to ~53 s — at that length the 4-core level's FIXED costs (driver
+# planning, stage scheduling, python-worker warmup: ~10-15 s, identical at
+# both levels) are ~20-25% of the wall, so the 120k ratio had become a
+# measurement of harness latency rather than dataflow scaling. 240k
+# restores the round-2-era compute share AND is the more production-shaped
+# density: a real 4-executor shard of a 10^12-turn corpus processes far
+# more than 30k conversations per core. Measured (pinned, AQE-off bench
+# conf, decisions 59,886 bit-identical across levels): T1 401.3 s, T4
+# 121.9-129.0 s -> raw 1v4 0.78-0.82 vs 0.72-0.78 at 120k.
+# BENCH_CONVS=120000 reproduces the round 3-6 scale.
+BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "240000"))
 # scaling levels: this VM exposes 32 vCPUs but the dedup pipeline hits a
 # hard shared-memory-bus throughput floor at ~8 worker threads (measured at
 # 240k convs: local[2]=257s, local[4]=158s, local[8]=89.3s, local[16]=89.5s
@@ -131,33 +137,43 @@ CANARY_BAND_FILE = os.path.join(
 )
 CANARY_BAND_KEEP = 12
 CANARY_BAND_MARGIN = 1.08
-CANARY_DEFAULT_THRESH = 74.0
+# static fallback only (used when the band file is empty): round-7 clean
+# pinned-T4 band at 240k convs is ~122-129 s
+CANARY_DEFAULT_THRESH = 132.0
 
 
 def _band_key() -> str:
     return f"{BENCH_CONVS}x{SCALE_HI}pin{int(PIN_CPUS)}"
 
 
-def _load_band() -> list[float]:
+def _load_bands() -> dict:
     try:
         with open(CANARY_BAND_FILE) as f:
             d = json.load(f)
-        return list(d["walls"]) if d.get("key") == _band_key() else []
-    except (OSError, ValueError, KeyError):
-        return []
+        return dict(d.get("bands", {}))
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
+def _load_band() -> list[float]:
+    band = _load_bands().get(_band_key(), [])
+    return [float(w) for w in band]
 
 
 def _append_band(walls: list[float]) -> None:
     """Record fresh clean pinned-T4 readings (newest last, keep the tail) —
-    the next run's threshold derives from these."""
+    the next run's threshold derives from these. Bands are keyed per
+    (convs x cores x pinning) so a smoke run at another scale can't clobber
+    the official band."""
     if not walls:
         return
-    prev = _load_band()
-    merged = (prev + [round(w, 2) for w in walls])[-CANARY_BAND_KEEP:]
+    bands = _load_bands()
+    key = _band_key()
+    bands[key] = (bands.get(key, []) + [round(w, 2) for w in walls])[-CANARY_BAND_KEEP:]
     os.makedirs(os.path.dirname(CANARY_BAND_FILE), exist_ok=True)
     tmp = CANARY_BAND_FILE + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"key": _band_key(), "walls": merged}, f)
+        json.dump({"bands": bands}, f)
     os.replace(tmp, CANARY_BAND_FILE)
 
 

@@ -97,18 +97,28 @@ def test_pipeline_plan_shape_gate(spark, turns200, cfg):
     strings. A future change that silently regresses any of these fails
     here instead of surfacing as a bench cliff. The same plan is archived
     in BENCH/PLANS.md by tools/explain_plans.py."""
-    conv = add_signatures(reconstruct_conversations(turns200), cfg)
-    cand = (
-        exact_candidates(conv)
-        .unionByName(lsh_candidates(conv, cfg, None))
-        .unionByName(substring_candidates(conv, cfg, None, verify_mode="instr"))
-    )
-    pairs = verify_candidates(cand, conv, cfg)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, "cartesian join regressed into the pairs stage"
-    assert "BroadcastNestedLoopJoin" not in plan, "BNLJ regressed into the pairs stage"
-    assert "ShuffledHashJoin" in plan, "hydration lost its shuffle_hash pin"
-    assert "a_cid#" in plan and "b_cid#" in plan, "hydration joins no longer cid-keyed"
+    # assert under BOTH AQE settings: the library session default runs AQE
+    # on; the local-mode bench pipeline runs AQE off (round-7, measured
+    # stage-wave latency). The 100 TB-audit properties must hold in both.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            conv = add_signatures(reconstruct_conversations(turns200), cfg)
+            cand = (
+                exact_candidates(conv)
+                .unionByName(lsh_candidates(conv, cfg, None))
+                .unionByName(substring_candidates(conv, cfg, None, verify_mode="instr"))
+            )
+            pairs = verify_candidates(cand, conv, cfg)
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            ctx = f" (aqe={aqe})"
+            assert "CartesianProduct" not in plan, "cartesian join regressed" + ctx
+            assert "BroadcastNestedLoopJoin" not in plan, "BNLJ regressed" + ctx
+            assert "ShuffledHashJoin" in plan, "hydration lost shuffle_hash pin" + ctx
+            assert "a_cid#" in plan and "b_cid#" in plan, "hydration not cid-keyed" + ctx
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def test_shuffle_hash_join_in_plan(spark, turns200, cfg):

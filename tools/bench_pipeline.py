@@ -26,13 +26,23 @@ def main():
     from transcript_dedup.session import get_spark
     from transcript_dedup.signatures import add_signatures
 
+    # AQE OFF for the LOCAL-MODE scaling bench only (round-7, measured):
+    # in a single JVM every AQE query-stage materialization is a driver
+    # scheduling round-trip; across the pipeline's ~30 stage-jobs that wave
+    # latency costs 4-9 s at pinned T4 and ~2 s at T1 (interleaved A/B,
+    # decisions bit-identical) — a T4-specific artifact of local mode, not
+    # of the dataflow. The LIBRARY session default keeps AQE + skew-join ON
+    # (production posture: on a real multi-executor cluster stages run
+    # seconds-to-minutes and AQE's skew splitting / runtime re-plan pay for
+    # the waves; the plan-shape gate asserts the pairs plan is safe under
+    # BOTH settings). TD_EXTRA_CONF still overrides.
+    conf = {"spark.sql.adaptive.enabled": "false"}
+    conf.update(json.loads(os.environ.get("TD_EXTRA_CONF", "{}")))
     spark = get_spark(
         f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
-        # spark-conf override hook for physical A/Bs (e.g. TD_EXTRA_CONF=
-        # '{"spark.sql.adaptive.coalescePartitions.enabled": "false"}')
-        extra_conf=json.loads(os.environ.get("TD_EXTRA_CONF", "{}")),
+        extra_conf=conf,
     )
     # config override hook for A/B experiments (e.g. TD_CFG='{"num_perm": 96,
     # "lsh_bands": 32}') — keeps ablations on the exact pinned subprocess

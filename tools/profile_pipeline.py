@@ -11,6 +11,7 @@ killing the scaling-efficiency target) from the Spark REST UI.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -43,11 +44,16 @@ def main():
     from transcript_dedup.session import get_spark
     from transcript_dedup.signatures import add_signatures
 
+    # mirror bench_pipeline's conf handling (round-7 fix: this tool silently
+    # ignored TD_EXTRA_CONF before, so "profiles under conf X" profiled the
+    # default; it also now defaults to the bench's local-mode AQE-off)
+    extra = {"spark.ui.enabled": "true", "spark.sql.adaptive.enabled": "false"}
+    extra.update(json.loads(os.environ.get("TD_EXTRA_CONF", "{}")))
     spark = get_spark(
         f"profile-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf=extra,
     )
     sc = spark.sparkContext
     cfg = DedupConfig()
@@ -123,7 +129,8 @@ def main():
         gap = (sub - prev_end) if prev_end is not None else 0.0
         tot_gap += max(gap, 0)
         prev_end = max(comp, prev_end or comp)
-        desc = (j.get("description") or "")[:40]
+        # callsite name distinguishes broadcast builds / takes / main actions
+        desc = ((j.get("description") or "") + " | " + (j.get("name") or ""))[:95]
         print(
             f"job {j['jobId']:>3}  dur {dur:6.2f}s  gap {max(gap,0):5.2f}s  "
             f"tasks {j['numTasks']:>4}  {desc}"
