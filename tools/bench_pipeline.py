@@ -77,12 +77,17 @@ def main():
     spark.catalog.clearCache()
 
     turns = spark.read.parquet(corpus)
-    n_convs = turns.select("conv_id").distinct().count()
     t0 = time.perf_counter()
     conv = add_signatures(reconstruct_conversations(turns), cfg)
     res = run_dedup_dataframes(conv, cfg)
     n_dec = res["decisions"].count()
     wall = time.perf_counter() - t0
+    # conv count comes from the cid-injectivity aggregation the timed
+    # pipeline already ran (run_dedup_dataframes) — the former untimed
+    # distinct-count pre-scan cost ~5-15 s of wall per subprocess launch
+    # (x16 launches per full bench protocol) for a number the run computes
+    # anyway. The timed region is unchanged.
+    n_convs = res["n_conv"]
     print(
         json.dumps(
             {

@@ -73,10 +73,28 @@ def _gram_pairs(
     # inner gram, so the inner doc only needs to probe with its single
     # rarest (min-df) gram — join fan-out is df(rarest gram) per doc, never
     # quadratic in a gram's document frequency.
+    #
+    # The argmin runs as min() over an order-preserving decimal(38,0)
+    # packing of (df, gram) — df * 2^64 + (gram + 2^63) — instead of
+    # min(struct(df, gram)): struct aggregation buffers are immutable, so
+    # the struct form planned as TWO SortAggregates with full sorts of the
+    # exploded gram table (~15M rows at 240k convs, the plan's only
+    # sort-based aggregation); decimals are mutable buffer types, so the
+    # packed form hash-aggregates. The packing is exactly order-isomorphic
+    # to the struct ordering (df major; +2^63 bias maps signed gram order
+    # onto the non-negative decimal minor axis), so the selected
+    # (min_df, gram) per cid is bit-identical.
+    _TWO64 = "18446744073709551616"  # 2^64
+    _BIAS = "9223372036854775808"  # 2^63
+    packed = F.expr(
+        f"cast(df as decimal(38,0)) * {_TWO64} + (cast(gram as decimal(38,0)) + {_BIAS})"
+    )
     rarest = joined.groupBy("cid").agg(
-        F.min(F.struct("df", "gram")).alias("m")
+        F.min(packed).alias("p")
     ).select(
-        "cid", F.col("m.df").alias("min_df"), F.col("m.gram").alias("gram")
+        "cid",
+        F.expr(f"cast((p - (p % {_TWO64})) / {_TWO64} as long)").alias("min_df"),
+        F.expr(f"cast(p % {_TWO64} - {_BIAS} as long)").alias("gram"),
     ).persist()
     inner_keys = rarest.filter(F.col("min_df") <= cfg.substring_gram_maxdf)
     # docs whose grams were ALL stop-listed: min_df over every gram > maxdf
@@ -99,9 +117,30 @@ def _gram_pairs(
 def _tiny_pairs(
     conv: DataFrame, tiny_ids: DataFrame, cfg: DedupConfig, counters: dict | None
 ) -> DataFrame:
-    """Fallback candidates for docs with no usable sampled grams: non-empty
+    """Fallback pairs for docs with no usable sampled grams: non-empty
     docs with zero sampled grams, plus docs whose grams were all
-    stop-listed.
+    stop-listed. Returns **containment-verified** pairs (round 8): inner =
+    the tiny doc, strictly shorter, its full text verified inside the probe
+    kernel — so the output needs no re-verification and never re-enters the
+    hydration join.
+
+    Round-8 redesign rationale (measured at 240k convs): tiny docs are
+    boilerplate-degenerate by construction, so MANY of them share one
+    minimum raw gram — two hot pattern hashes were shared by ~214 distinct
+    needle texts each, and the old hash-match -> join-back -> hydrate
+    pipeline emitted **15.0M candidate pairs** (of 15.08M total substring
+    candidates) that then paid a 15M-row distinct, two full-corpus
+    hydration joins and 15M instr() verifications to be whittled back to
+    ~12k true pairs. The probe kernel already holds every scanned text, so
+    it now verifies real containment in place, over per-hash needle lists
+    deduplicated by TEXT (needle fan-out happens after verification, when
+    only true pairs remain). The verified pair set is provably identical:
+    for any true containment x strictly-inside y with x tiny, every raw
+    gram of x — including the minimum one — occurs in y, so the probe
+    reaches (y, min_gram(x)) and the in-kernel check 'len(x) < len(y) and
+    x in y' is exactly the predicate hydrate_and_verify applied; pairs
+    whose inner doc has a rare sampled gram are disjointly covered by the
+    gram path (the inner's rarest gram is a kept gram of the outer).
 
     Pattern-probe design (the corpus x tiny broadcast ``instr`` scan this
     replaces measured 828 core-seconds for 96 fallback docs at 240k — 60% of
@@ -121,14 +160,18 @@ def _tiny_pairs(
          survivors (signatures.probe_gram_matches; ~10x less compute than
          the per-doc np.isin probe it replaced), emitting the rare
          (doc, pattern-hash) matches;
-      3. matches join the tiny pattern table -> candidate pairs; the
-         downstream verify (suffix array / instr) makes them exact, so hash
-         collisions and pattern fan-out cost only compute, never wrong
-         answers.
+      3. hash survivors are verified IN the kernel against the (text-
+         deduplicated) needle list of their pattern hash — a C-level
+         substring check per (scanned doc, distinct needle) — so hash
+         collisions and needle fan-out cost only kernel compute, never
+         wrong answers and never downstream rows;
+      4. verified (scanned doc, needle-text) matches fan out to the needle
+         texts' doc ids through a broadcast join (true pairs only).
 
     Docs shorter than one gram fall back to the broadcast contains-join —
     their texts are < substring_gram_k chars, so each probe is a few dozen
-    character comparisons, not a document scan.
+    character comparisons, not a document scan. That join now also applies
+    the strict inner-shorter rule, so its output is verified too.
 
     Scale guard: the pattern set is hard-capped at
     ``cfg.substring_tiny_cap`` (take(cap+1) fails LOUD on overflow — a
@@ -170,46 +213,69 @@ def _tiny_pairs(
 
     out = empty
     if long_rows:
-        # one min raw gram per fallback doc (raw = every gram, no sampling).
+        # one min raw gram per DISTINCT needle text (raw = every gram, no
+        # sampling; identical texts share one needle — fan-out to their doc
+        # ids happens after verification, when only true pairs remain).
         # Min is taken in two's-complement (int64 view) space — the SAME
         # value space the probe kernel emits — because a uint64 min with the
         # top bit set overflows the int64 createDataFrame/np.array path. Any
         # raw gram of T is a valid pattern, so signed-order min is just as
         # good. (raw_gram_hashes, not sampled mod=1: same polynomial, but
         # skips the splitmix + unique-sort passes neither side needs.)
-        patterns = [
-            (t_id, int(raw_gram_hashes(t, k).view(np.int64).min()))
-            for t_id, t in long_rows
-        ]
-        pat_arr = np.unique(np.array([h for _, h in patterns], dtype=np.int64))
-        pat_df = F.broadcast(
-            spark.createDataFrame(patterns, "t_id long, gh long")
+        texts_d = sorted({t for _, t in long_rows})
+        tix_of = {t: i for i, t in enumerate(texts_d)}
+        pats = [int(raw_gram_hashes(t, k).view(np.int64).min()) for t in texts_d]
+        pat_arr = np.unique(np.array(pats, dtype=np.int64))
+        # per-hash needle lists, shortest first (cheap len prefilter hits
+        # earliest); shipped once per executor as a broadcast variable
+        by_gh: dict[int, list[tuple[int, str]]] = {}
+        for i, (t, h) in enumerate(zip(texts_d, pats)):
+            by_gh.setdefault(h, []).append((i, t))
+        for lst in by_gh.values():
+            lst.sort(key=lambda it: (len(it[1]), it[1]))
+        bc = spark.sparkContext.broadcast((pat_arr, by_gh))
+        tix_df = F.broadcast(
+            spark.createDataFrame(
+                [(tix_of[t], t_id) for t_id, t in long_rows], "tix long, t_id long"
+            )
         )
 
         def probe(batches):
             import pandas as pd  # noqa: F811 (worker-side import)
 
+            p_arr, needles = bc.value
             # bitmap prefilter built once per task from the broadcast
-            # pattern array (4 Mbit; ~ms)
-            bitmap = build_pattern_bitmap(pat_arr)
+            # pattern array (4 MiB; ~ms)
+            bitmap = build_pattern_bitmap(p_arr)
             for pdf in batches:
-                idx, gh = probe_gram_matches(
-                    pdf["norm_text"].tolist(), k, pat_arr, bitmap
-                )
+                texts = pdf["norm_text"].tolist()
+                idx, gh = probe_gram_matches(texts, k, p_arr, bitmap)
+                o_ids = pdf["cid"].to_numpy()
+                out_o: list[int] = []
+                out_t: list[int] = []
+                for j in range(idx.size):
+                    o_text = texts[idx[j]]
+                    n_o = len(o_text)
+                    for ti, nt in needles[int(gh[j])]:
+                        if len(nt) >= n_o:
+                            break  # needles sorted by length
+                        if nt in o_text:
+                            out_o.append(int(o_ids[idx[j]]))
+                            out_t.append(ti)
                 yield pd.DataFrame(
                     {
-                        "o_id": pdf["cid"].to_numpy()[idx],
-                        "gh": pd.array(gh, dtype="int64"),
+                        "o_id": pd.array(out_o, dtype="int64"),
+                        "tix": pd.array(out_t, dtype="int64"),
                     }
                 )
 
         matches = (
             conv.filter(F.length("norm_text") >= k)
             .select("cid", "norm_text")
-            .mapInPandas(probe, schema="o_id long, gh long")
+            .mapInPandas(probe, schema="o_id long, tix long")
         )
         out = (
-            matches.join(pat_df, "gh")
+            matches.join(tix_df, "tix")
             .filter(F.col("t_id") != F.col("o_id"))
             .select(
                 F.least("t_id", "o_id").alias("conv_a"),
@@ -225,7 +291,13 @@ def _tiny_pairs(
             F.col("cid").alias("o_id"), F.col("norm_text").alias("o_text")
         )
         short_pairs = (
-            others.join(shorts, F.expr("instr(o_text, t_text) > 0"), "inner")
+            others.join(
+                shorts,
+                # strict inner-shorter + containment: the exact predicate
+                # hydrate_and_verify applies, so this output is verified
+                F.expr("length(o_text) > length(t_text) AND instr(o_text, t_text) > 0"),
+                "inner",
+            )
             .filter(F.col("t_id") != F.col("o_id"))
             .select(
                 F.least("t_id", "o_id").alias("conv_a"),
@@ -278,16 +350,29 @@ def substring_candidates(
     cid-keyed (pairs canonically oriented by cid; consumers of the bare
     output map back via verify.resolve_pair_ids)."""
     gram_pairs, all_stopped = _gram_pairs(conv, cfg, counters)
-    raw = gram_pairs.unionByName(_tiny_pairs(conv, all_stopped, cfg, counters)).distinct()
-    verified = hydrate_and_verify(raw, conv, verify_mode)
+    # gram-path candidates hydrate + verify; tiny-path pairs arrive ALREADY
+    # verified in the probe kernel (see _tiny_pairs) and must not re-enter
+    # the hydration join. The two verified sets are disjoint by the inner
+    # doc's class — a pair's inner (strictly shorter) doc either has a rare
+    # sampled gram (gram path) or is tiny (tiny path), never both — so the
+    # union needs no distinct to stay duplicate-free.
+    verified = hydrate_and_verify(
+        gram_pairs, conv, verify_mode, join_hint=cfg.hydration_join
+    ).select("conv_a", "conv_b")
+    tiny_verified = _tiny_pairs(conv, all_stopped, cfg, counters)
     # no materialization barrier anywhere in this detector: the single
     # downstream consumer (verify stage) triggers the whole dataflow in one
     # job; the gram explode/df exchanges are shared via ReusedExchange
-    return verified.select("conv_a", "conv_b").withColumn("src", F.lit("substring"))
+    return (
+        verified.unionByName(tiny_verified).withColumn("src", F.lit("substring"))
+    )
 
 
 def hydrate_and_verify(
-    raw: DataFrame, conv: DataFrame, verify_mode: str = "suffix_array"
+    raw: DataFrame,
+    conv: DataFrame,
+    verify_mode: str = "suffix_array",
+    join_hint: str = "shuffle_hash",
 ) -> DataFrame:
     """Candidate (conv_a, conv_b) cid pairs -> containment-verified pairs.
 
@@ -295,8 +380,17 @@ def hydrate_and_verify(
     (equal lengths are the exact detector's job), and verifies with the
     suffix-array kernel or the pure-JVM ``instr`` twin. Shared by the batch
     detector above and the streaming incremental arm
-    (streaming._incremental_substring)."""
+    (streaming._incremental_substring).
+
+    ``join_hint="shuffle_hash"`` (default — same rationale as
+    config.hydration_join): the texts side is the whole corpus, so this is
+    a shuffled key-equality join at any scale; without the hint Catalyst
+    plans it as SortMergeJoin, which SORTS the full norm_text corpus twice
+    (once per hydration side) plus the pair side — pure wasted work for an
+    equality join. "auto" restores planner choice."""
     texts = conv.select("cid", "norm_text", F.length("norm_text").alias("len"))
+    if join_hint == "shuffle_hash":
+        texts = texts.hint("shuffle_hash")
     hyd = (
         raw.join(
             texts.select(

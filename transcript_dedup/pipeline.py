@@ -201,7 +201,7 @@ def run_dedup_dataframes(
     # recomputes the signature kernel once per racing stage (measured).
     # The action doubles as the cid-injectivity guard (loud abort on an
     # xxhash64 birthday collision — remediation: bump cfg.cid_seed).
-    assert_cid_unique(conv)
+    n_conv = assert_cid_unique(conv)
     key_caches: list = []
     cand = (
         exact_candidates(conv)
@@ -221,7 +221,14 @@ def run_dedup_dataframes(
         release_key_caches(key_caches)
     comps = connected_components(pairs.filter("is_match"), cfg, counters)
     decisions = make_decisions(comps, conv, pairs, cfg)
-    return {"candidate_pairs": pairs, "components": comps, "decisions": decisions}
+    # n_conv rides along so callers (bench_pipeline, profilers) don't pay a
+    # second full-corpus count job for a number this run already computed
+    return {
+        "candidate_pairs": pairs,
+        "components": comps,
+        "decisions": decisions,
+        "n_conv": n_conv,
+    }
 
 
 def closure_pairs(components: DataFrame) -> DataFrame:

@@ -347,14 +347,47 @@ def band_tuples(sig: np.ndarray, bands: int, rows: int) -> list[tuple]:
 
 
 def compute_signature_row(norm_text: str, cfg: DedupConfig, a: np.ndarray, b: np.ndarray):
-    """(minhash int list, simhash int64, n_shingles int) for one doc."""
-    th = _token_hashes(norm_text)  # one token pass feeds shingles AND simhash
-    sh = shingle_hashes_from_tokens(th, cfg.shingle_k)
-    sig = minhash_signature(sh, a, b, cfg.minhash_width)
-    sim = int(simhash64_from_tokens(th))
+    """(minhash int list, simhash int64, n_shingles int) for one doc.
+
+    Round-8 shape: ONE byte-level polynomial prefix-sum pass feeds both the
+    token hashes and the sampled substring grams (they were computed as two
+    independent passes over the same bytes — the per-doc encode + cumsum
+    paid twice), and ONE ``np.errstate`` context wraps the whole row (the
+    kernel's six per-call contexts were ~15%% of kernel time in cProfile —
+    seterr/geterr are surprisingly expensive per small-array call). All
+    values are bit-identical to the previous per-function path: same
+    polynomial, same constants, same order of operations
+    (tests/test_signatures.py pins Spark==Python parity either way).
+    """
+    data = norm_text.encode("utf-8")
+    n = len(data)
+    with np.errstate(over="ignore"):
+        if n == 0:
+            th = np.empty(0, dtype=np.uint64)
+            grams = np.empty(0, dtype=np.uint64)
+        else:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            pw, ipw = _powers(0, n)
+            s = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(x * pw[:n], out=s[1:])
+            # tokens: spaces are single separators in normalized text
+            spaces = np.flatnonzero(x == _U64(32))
+            starts = np.concatenate(([0], spaces + 1))
+            ends = np.concatenate((spaces, [n]))
+            th = (s[ends] - s[starts]) * ipw[starts]
+            th = _splitmix64(th * _POLY_Q + (ends - starts).astype(np.uint64))
+            # sampled substring grams from the SAME prefix sums
+            k2 = cfg.substring_gram_k
+            if n >= k2:
+                h = _splitmix64((s[k2:] - s[: n - k2 + 1]) * ipw[: n - k2 + 1])
+                grams = np.unique(h[h % _U64(cfg.substring_mod) == _U64(0)])
+            else:
+                grams = np.empty(0, dtype=np.uint64)
+        sh = shingle_hashes_from_tokens(th, cfg.shingle_k)
+        sig = minhash_signature(sh, a, b, cfg.minhash_width)
+        sim = int(simhash64_from_tokens(th))
     if sim >= 1 << 63:  # two's-complement into Spark LongType
         sim -= 1 << 64
-    grams = sampled_gram_hashes(norm_text, cfg.substring_gram_k, cfg.substring_mod)
     sview = np.int32 if cfg.minhash_width == 32 else np.int64
     return sig.view(sview).tolist(), sim, int(sh.size), grams.view(np.int64).tolist()
 
