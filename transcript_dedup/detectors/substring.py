@@ -224,16 +224,39 @@ def _tiny_pairs(
         # skips the splitmix + unique-sort passes neither side needs.)
         texts_d = sorted({t for _, t in long_rows})
         tix_of = {t: i for i, t in enumerate(texts_d)}
-        pats = [int(raw_gram_hashes(t, k).view(np.int64).min()) for t in texts_d]
-        pat_arr = np.unique(np.array(pats, dtype=np.int64))
-        # per-hash needle lists, shortest first (cheap len prefilter hits
-        # earliest); shipped once per executor as a broadcast variable
-        by_gh: dict[int, list[tuple[int, str]]] = {}
-        for i, (t, h) in enumerate(zip(texts_d, pats)):
-            by_gh.setdefault(h, []).append((i, t))
-        for lst in by_gh.values():
-            lst.sort(key=lambda it: (len(it[1]), it[1]))
-        bc = spark.sparkContext.broadcast((pat_arr, by_gh))
+        # two anchor grams per distinct needle: its two smallest distinct
+        # raw-gram hashes. Containment implies EVERY raw gram of the needle
+        # occurs in the container, so requiring both anchors before the
+        # string check is a pure prefilter (no true pair lost; needles with
+        # a single distinct gram hash use one anchor). Measured at 240k:
+        # the second anchor prunes the candidate checks 3x — boilerplate
+        # needle families share their minimum gram, so the h1-only fan-out
+        # re-checked every family member against every h1-matching doc.
+        h1s: list[int] = []
+        h2s: list[int | None] = []
+        for t in texts_d:
+            u = np.unique(raw_gram_hashes(t, k).view(np.int64))
+            h1s.append(int(u[0]))
+            h2s.append(int(u[1]) if u.size > 1 else None)
+        pat_arr = np.unique(np.array(
+            h1s + [h for h in h2s if h is not None], dtype=np.int64
+        ))
+        # needle tables sorted by h1 (group lookup via searchsorted):
+        order = sorted(range(len(texts_d)), key=lambda i: (h1s[i], len(texts_d[i])))
+        ndl_texts = [texts_d[i] for i in order]
+        ndl_tix = np.array(order, dtype=np.int64)
+        ndl_len = np.array([len(t) for t in ndl_texts], dtype=np.int64)
+        ndl_h1 = np.array([h1s[i] for i in order], dtype=np.int64)
+        ndl_h2idx = np.array(
+            [-1 if h2s[i] is None else int(np.searchsorted(pat_arr, h2s[i]))
+             for i in order],
+            dtype=np.int64,
+        )
+        grp_h1, grp_start = np.unique(ndl_h1, return_index=True)
+        grp_cnt = np.diff(np.append(grp_start, ndl_h1.size))
+        bc = spark.sparkContext.broadcast(
+            (pat_arr, grp_h1, grp_start, grp_cnt, ndl_tix, ndl_len, ndl_h2idx, ndl_texts)
+        )
         tix_df = F.broadcast(
             spark.createDataFrame(
                 [(tix_of[t], t_id) for t_id, t in long_rows], "tix long, t_id long"
@@ -243,7 +266,7 @@ def _tiny_pairs(
         def probe(batches):
             import pandas as pd  # noqa: F811 (worker-side import)
 
-            p_arr, needles = bc.value
+            (p_arr, g_h1, g_start, g_cnt, n_tix, n_len, n_h2, n_texts) = bc.value
             # bitmap prefilter built once per task from the broadcast
             # pattern array (4 MiB; ~ms)
             bitmap = build_pattern_bitmap(p_arr)
@@ -253,15 +276,47 @@ def _tiny_pairs(
                 o_ids = pdf["cid"].to_numpy()
                 out_o: list[int] = []
                 out_t: list[int] = []
-                for j in range(idx.size):
-                    o_text = texts[idx[j]]
-                    n_o = len(o_text)
-                    for ti, nt in needles[int(gh[j])]:
-                        if len(nt) >= n_o:
-                            break  # needles sorted by length
-                        if nt in o_text:
-                            out_o.append(int(o_ids[idx[j]]))
-                            out_t.append(ti)
+                if idx.size:
+                    # per-doc matched-pattern key set (doc index < 2^40 and
+                    # pattern index < 2^24, as inside probe_gram_matches)
+                    patidx = np.searchsorted(p_arr, gh)
+                    key_set = np.sort(
+                        (idx.astype(np.uint64) << np.uint64(24))
+                        | patidx.astype(np.uint64)
+                    )
+                    # fan each h1 match out to its needle group (vectorized)
+                    g = np.searchsorted(g_h1, gh)
+                    np.minimum(g, g_h1.size - 1, out=g)
+                    is_h1 = g_h1[g] == gh
+                    md, mg = idx[is_h1], g[is_h1]
+                    reps = g_cnt[mg]
+                    cand_doc = np.repeat(md, reps)
+                    # concatenated per-group aranges: start[g] + local offset
+                    csum = np.cumsum(reps)
+                    local = np.arange(int(csum[-1]) if reps.size else 0) - np.repeat(
+                        csum - reps, reps
+                    )
+                    cand_ndl = np.repeat(g_start[mg], reps) + local
+                    # strict inner-shorter prefilter
+                    doc_len = np.fromiter(
+                        (len(t) for t in texts), dtype=np.int64, count=len(texts)
+                    )
+                    keep = n_len[cand_ndl] < doc_len[cand_doc]
+                    cand_doc, cand_ndl = cand_doc[keep], cand_ndl[keep]
+                    # second-anchor membership, one bulk searchsorted
+                    h2 = n_h2[cand_ndl]
+                    keys = (cand_doc.astype(np.uint64) << np.uint64(24)) | np.where(
+                        h2 >= 0, h2, 0
+                    ).astype(np.uint64)
+                    pos = np.searchsorted(key_set, keys)
+                    np.minimum(pos, key_set.size - 1, out=pos)
+                    ok = (h2 < 0) | (key_set[pos] == keys)
+                    cand_doc, cand_ndl = cand_doc[ok], cand_ndl[ok]
+                    # exact containment on the few survivors (C substring)
+                    for d, nd in zip(cand_doc.tolist(), cand_ndl.tolist()):
+                        if n_texts[nd] in texts[d]:
+                            out_o.append(int(o_ids[d]))
+                            out_t.append(int(n_tix[nd]))
                 yield pd.DataFrame(
                     {
                         "o_id": pd.array(out_o, dtype="int64"),
