@@ -39,8 +39,27 @@ _TABLES = [
 
 
 def _register(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    """Register testdata tables as temp views.
+
+    Scale-adaptive parallelism floor (round 8): the local testdata tables
+    are single parquet files with one row group, so the scan — and every
+    operator whole-stage-fused onto it — runs as ONE task regardless of
+    spark.sql.files.maxPartitionBytes (splits cannot cut inside a row
+    group). Only the text corpus (``documents``) gets a round-robin
+    exchange up to the session parallelism: its queries fan each row out
+    through regex-normalize + n-gram explodes (hundreds of derived rows per
+    doc, measured seconds of single-core work), so the exchange pays for
+    itself many times over, while the numeric fact/dim tables' scan-light
+    aggregations are cheaper single-task than behind an extra exchange at
+    local sizes. An already-wide production corpus skips the exchange.
+    Placement only — query results are unchanged.
+    """
+    floor = spark.sparkContext.defaultParallelism
     for t in tables:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "documents" and df.rdd.getNumPartitions() < floor:
+            df = df.repartition(floor)
+        df.createOrReplaceTempView(t)
 
 
 # --------------------------------------------------------------------------

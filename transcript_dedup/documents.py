@@ -41,6 +41,16 @@ def docs_as_records(
 
 
 def signed_records(docs: DataFrame, cfg: DedupConfig, id_col="doc_id", text_col="text") -> DataFrame:
+    # scale-adaptive parallelism floor: a small single-file corpus arrives
+    # as ONE scan partition, which serializes the signature kernel (and
+    # every downstream conv consumer, e.g. the substring probe) onto one
+    # core of the whole session. Round-robin up to the session's
+    # parallelism only when the scan is narrower — a many-file production
+    # corpus is already wide and skips the exchange. Row values/results are
+    # unaffected (placement only).
+    floor = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < floor:
+        docs = docs.repartition(floor)
     return add_signatures(docs_as_records(docs, id_col, text_col), cfg)
 
 
