@@ -392,7 +392,10 @@ def _verify_suffix_array(cand: DataFrame) -> DataFrame:
     hits = cand.select("out_id", "in_id", "text_out", "text_in").groupBy(
         "out_id"
     ).applyInPandas(verify_group, schema=schema)
-    return cand.join(hits, ["out_id", "in_id"], "left_semi")
+    # shuffle_hash: the no-hint plan is a SortMergeJoin that SORTS the
+    # text-laden hydrated candidate stream just to semi-join the (small)
+    # verified id pairs — same rationale as the hydration joins
+    return cand.join(hits.hint("shuffle_hash"), ["out_id", "in_id"], "left_semi")
 
 
 def substring_candidates(
