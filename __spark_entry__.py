@@ -1203,10 +1203,20 @@ def _pq_write_atomic(table, path: str) -> None:
 
     import pyarrow.parquet as pq
 
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path) or "/tmp")
+    # same-directory tmp (a cross-filesystem fallback would make os.replace
+    # raise EXDEV); unlink the tmp if the write fails so a raising
+    # pq.write_table can't leak mkstemp files (ADVICE round 7)
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=os.path.dirname(path) or ".")
     os.close(fd)
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _ensure_ivf_export() -> tuple[str, str]:

@@ -253,7 +253,8 @@ def raw_gram_hashes(norm_text: str, k: int) -> np.ndarray:
         return (s[k:] - s[: n - k + 1]) * ipw[: n - k + 1]
 
 
-_PROBE_BITMAP_BITS = 22  # 4 Mbit presence filter on the hash low bits
+_PROBE_BITMAP_BITS = 22  # 2^22-slot presence filter on the hash low bits
+# (stored as a bool ndarray: 4 MiB per build, rebuilt once per probe call)
 _PROBE_CHUNK = 1 << 21  # bytes of concatenated text per rolling-hash pass
 
 
