@@ -34,7 +34,11 @@ def build_zip(out_path: str) -> dict:
     for dirpath, dirnames, filenames in os.walk(src_root):
         dirnames[:] = [d for d in dirnames if d != "__pycache__"]
         for fn in filenames:
-            if fn.endswith(".py"):
+            # _sigkernel.c rides along so the native signature kernel can
+            # compile on executors (signatures._native_build reads it via
+            # importlib.resources under zip import; absent gcc it falls
+            # back to the numpy kernel)
+            if fn.endswith(".py") or fn == "_sigkernel.c":
                 full = os.path.join(dirpath, fn)
                 arc = os.path.relpath(full, REPO)
                 entries.append((arc, full))

@@ -22,6 +22,11 @@ Hashing scheme (all deterministic, seedable, no wall clock):
 
 from __future__ import annotations
 
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
 from collections.abc import Iterator
 from hashlib import blake2b
 
@@ -568,6 +573,166 @@ def compute_signatures_batch(texts: list[str], cfg: DedupConfig, a: np.ndarray, 
 
 
 # --------------------------------------------------------------------------
+# Native (C) kernel: the identical per-doc computation compiled with gcc -O3.
+#
+# The per-row numpy path above pays ~30 small-array numpy calls per doc
+# (~140 us/doc on the bench corpus, call overhead + intermediate matrices);
+# the C kernel runs the same polynomial/splitmix arithmetic (uint64
+# wraparound, same constants, same op order — see _sigkernel.c) over a whole
+# Arrow batch in one call. Compiled on demand, content-hash-cached in
+# $TMPDIR; ANY failure (no gcc, compile error, load error, parity-probe
+# mismatch) permanently falls back to the numpy path for the process.
+# TD_NATIVE_KERNEL=0 disables; =require raises instead of falling back
+# (used by tests to prove the native path is actually exercised).
+# --------------------------------------------------------------------------
+
+_NATIVE_LIB = None  # None = not tried; False = unavailable; else CDLL
+
+
+def _native_build() -> "ctypes.CDLL":
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_sigkernel.c")
+    try:
+        with open(src, "rb") as f:
+            code = f.read()
+    except OSError:
+        # imported from a --py-files zip: read the member via the package
+        # loader instead of the (non-existent) filesystem path
+        import importlib.resources as _ir
+
+        code = (_ir.files("transcript_dedup") / "_sigkernel.c").read_bytes()
+    tag = hashlib.sha256(code).hexdigest()[:16]
+    so = os.path.join(
+        tempfile.gettempdir(), f"td_sigkernel_{tag}_{os.uname().machine}.so"
+    )
+    if not os.path.exists(so):
+        tmp = f"{so}.{os.getpid()}.tmp"
+        with open(tmp + ".c", "wb") as f:
+            f.write(code)
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", tmp, tmp + ".c"],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.unlink(tmp + ".c")
+        os.replace(tmp, so)  # atomic: concurrent workers race benignly
+    lib = ctypes.CDLL(so)
+    P = ctypes.POINTER
+    lib.td_sig_batch.restype = ctypes.c_int64
+    lib.td_sig_batch.argtypes = [
+        P(ctypes.c_uint8), P(ctypes.c_int64), ctypes.c_int64,
+        P(ctypes.c_uint64), P(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+        P(ctypes.c_uint64), P(ctypes.c_int64), P(ctypes.c_int32),
+        P(ctypes.c_int64), ctypes.c_int64, P(ctypes.c_int32),
+    ]
+    return lib
+
+
+#: parity-probe docs — cover empty, single/short token, double space,
+#: multi-byte UTF-8, a >=gram_k doc, and an embedded NUL byte
+_NATIVE_PROBE_DOCS = [
+    "",
+    " ",
+    "a",
+    "hello world  twice spaced",
+    "héllo wörld ☃ tokens beyond the shingle width here",
+    "the quick brown fox jumps over the lazy dog repeatedly and predictably "
+    "until the sampled gram window fills several times over",
+    "nul\x00byte inside",
+]
+
+
+def _native_lib():
+    """CDLL handle or None — compile+load+parity-probe once per process."""
+    global _NATIVE_LIB
+    if _NATIVE_LIB is not None:
+        return _NATIVE_LIB or None
+    mode = os.environ.get("TD_NATIVE_KERNEL", "auto")
+    if mode == "0":
+        _NATIVE_LIB = False
+        return None
+    try:
+        lib = _NATIVE_LIB = _native_build()
+        # value-level parity probe vs the numpy reference on fixed edge-case
+        # docs — a miscompiled kernel disables itself rather than ship wrong
+        # signatures from an unattended run
+        cfg = DedupConfig()
+        a, b = minhash_params(cfg)
+        sigs, sims, nshs, grams = _native_batch(_NATIVE_PROBE_DOCS, cfg, a, b, lib)
+        for i, t in enumerate(_NATIVE_PROBE_DOCS):
+            rs, rm, rn, rg = compute_signature_row(t, cfg, a, b)
+            if (sigs[i], sims[i], nshs[i], grams[i]) != (rs, rm, rn, rg):
+                raise AssertionError(f"native parity probe failed on doc {i!r}")
+    except Exception:
+        _NATIVE_LIB = False
+        if mode == "require":
+            raise
+        return None
+    return _NATIVE_LIB
+
+
+def _native_batch(texts, cfg: DedupConfig, a: np.ndarray, b: np.ndarray, lib,
+                  as_arrays: bool = False):
+    """(sig lists, simhash list, n_shingles list, gram lists) via the C
+    kernel — same return contract as mapping compute_signature_row.
+
+    as_arrays=True returns the minhash rows and gram rows as int ndarray
+    views instead of Python lists (identical values; pyarrow converts both
+    to the same list<int> arrays, the ndarray form ~8x cheaper — the
+    .tolist() boxing measured ~10 us/doc, a third of the native path)."""
+    ndocs = len(texts)
+    if ndocs == 0:
+        return [], [], [], []
+    enc = [t.encode("utf-8") for t in texts]
+    offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((len(e) for e in enc), dtype=np.int64, count=ndocs),
+              out=offs[1:])
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    if data.size == 0:
+        data = np.zeros(1, dtype=np.uint8)  # non-null pointer for ctypes
+    sig = np.empty((ndocs, cfg.num_perm), dtype=np.uint64)
+    sim = np.empty(ndocs, dtype=np.int64)
+    nsh = np.empty(ndocs, dtype=np.int32)
+    gcnt = np.empty(ndocs, dtype=np.int32)
+    cap = int(offs[-1]) // max(int(cfg.substring_mod) // 4, 1) + 4096
+    au = np.ascontiguousarray(a, dtype=np.uint64)
+    bu = np.ascontiguousarray(b, dtype=np.uint64)
+    for _ in range(2):
+        grams = np.empty(cap, dtype=np.int64)
+        total = lib.td_sig_batch(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ndocs,
+            au.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            bu.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            int(cfg.num_perm), int(cfg.shingle_k),
+            int(cfg.substring_gram_k), int(cfg.substring_mod),
+            sig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            sim.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            nsh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            grams.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+            gcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if total < 0:
+            raise MemoryError("td_sig_batch allocation failure")
+        if total <= cap:
+            break
+        cap = int(total)
+    sview = np.int32 if cfg.minhash_width == 32 else np.int64
+    sig_v = _truncate_sig(sig, cfg.minhash_width).view(sview)
+    bounds = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(gcnt, out=bounds[1:])
+    if as_arrays:
+        out_sig = list(sig_v)
+        out_grams = [grams[bounds[d]:bounds[d + 1]] for d in range(ndocs)]
+    else:
+        out_sig = sig_v.tolist()
+        out_grams = [grams[bounds[d]:bounds[d + 1]].tolist() for d in range(ndocs)]
+    return out_sig, sim.tolist(), nsh.astype(int).tolist(), out_grams
+
+
+# --------------------------------------------------------------------------
 # Spark integration
 # --------------------------------------------------------------------------
 
@@ -602,18 +767,27 @@ def add_signatures(conv_df, cfg: DedupConfig):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = minhash_params(k)
+        lib = _native_lib()
         for pdf in batches:
-            # per-row kernel: on this class of box the doc-sized arrays stay
-            # cache-resident, beating the batch-segmented variant
-            # (compute_signatures_batch, kept + parity-tested) which streams
-            # multi-MB index arrays through DRAM.
-            sigs, sims, counts, grams = [], [], [], []
-            for t in pdf["norm_text"].astype(str):
-                sg, sm, ns, gr = compute_signature_row(t, k, a, b)
-                sigs.append(sg)
-                sims.append(sm)
-                counts.append(ns)
-                grams.append(gr)
+            if lib is not None:
+                # native batch kernel (~6x the per-row numpy path, values
+                # bit-identical — see _sigkernel.c and the parity probe)
+                texts = pdf["norm_text"].astype(str).tolist()
+                sigs, sims, counts, grams = _native_batch(
+                    texts, k, a, b, lib, as_arrays=True
+                )
+            else:
+                # per-row numpy fallback: on this class of box the doc-sized
+                # arrays stay cache-resident, beating the batch-segmented
+                # variant (compute_signatures_batch, kept + parity-tested)
+                # which streams multi-MB index arrays through DRAM.
+                sigs, sims, counts, grams = [], [], [], []
+                for t in pdf["norm_text"].astype(str):
+                    sg, sm, ns, gr = compute_signature_row(t, k, a, b)
+                    sigs.append(sg)
+                    sims.append(sm)
+                    counts.append(ns)
+                    grams.append(gr)
             pdf = pdf.copy()
             pdf["minhash"] = sigs
             pdf["simhash"] = pd.array(sims, dtype="int64")
