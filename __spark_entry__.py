@@ -776,7 +776,14 @@ def _q_doc_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcript_dedup.documents import signed_records
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    conv = signed_records(docs, DedupConfig())
+    # persist ONCE: the substring detector references conv ~6x (gram
+    # explode, tiny take, probe scan, two hydration sides, id resolution) —
+    # unmaterialized, each reference re-runs the signature kernel
+    # (measured standalone 7.1 -> 3.8-4.3 s at sf0.1). When an identical
+    # conv subtree is already cached (e.g. doc_dedup_components ran first
+    # in the same session), CacheManager dedups this persist onto the
+    # existing entry, so the suite path keeps its free reuse.
+    conv = signed_records(docs, DedupConfig()).persist()
     # detectors emit cid-keyed pairs; map back to the zero-padded doc ids
     # (string order == numeric order, matching the oracle's least/greatest)
     pairs = resolve_pair_ids(substring_candidates(conv, DedupConfig()), conv)
@@ -835,6 +842,10 @@ def _q_doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = signed_records(docs, DedupConfig())
     res = run_dedup_dataframes(conv)
     comp = res["components"]
+    # the pipeline's persisted handle: joining against it reuses the
+    # populated cache instead of re-running the signature kernel for this
+    # one projection
+    conv = res["conversations"]
     out = (
         conv.select("conv_id")
         .join(comp, "conv_id", "left")

@@ -56,7 +56,7 @@ def main():
         extra_conf=extra,
     )
     sc = spark.sparkContext
-    cfg = DedupConfig()
+    cfg = DedupConfig().with_(**json.loads(os.environ.get("TD_CFG", "{}")))
 
     wturns = corpus_to_spark(spark, generate_corpus(50, seed=7)[0])
     run_dedup_dataframes(add_signatures(reconstruct_conversations(wturns), cfg), cfg)[
@@ -78,11 +78,18 @@ def main():
         phases.append((name, now - tp))
         tp = now
 
+    # mirror run_dedup_dataframes' conv handling (persist + assert-count
+    # materialization) so profiles match the real pipeline's job structure
     conv = add_signatures(reconstruct_conversations(turns), cfg).persist()
+    from transcript_dedup.signatures import assert_cid_unique
+
+    sc.setJobDescription("phase:conv")
+    assert_cid_unique(conv)
+    mark("conv(kernel+assert)")
     if eager_conv:
         sc.setJobDescription("phase:conv")
         conv.count()
-        mark("conv(kernel)")
+        mark("conv(count)")
 
     sc.setJobDescription("phase:pairs")
     cand = (

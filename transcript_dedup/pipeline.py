@@ -194,6 +194,13 @@ def run_dedup_dataframes(
     from pyspark import StorageLevel
 
     cfg = cfg or DedupConfig()
+    # persist, not localCheckpoint: a round-8 A/B replaced this with a
+    # lineage-truncating localCheckpoint (1-node plan for the ~8 downstream
+    # conv references) and measured the pinned 240k pairs job consistently
+    # SLOWER (21.2/27.1 -> 23.3/32.5 s main-count job at T4, interleaved) —
+    # the columnar InMemoryRelation cache out-reads the checkpointed
+    # row-object RDD across the pairs job's 6-8 full conv passes, and the
+    # driver-side planning the truncation saves is only ~1 s/run here.
     if conv.storageLevel == StorageLevel.NONE:
         conv = conv.persist()
     # materialize the cache NOW: the pairs job fans conv out into many
@@ -222,8 +229,11 @@ def run_dedup_dataframes(
     comps = connected_components(pairs.filter("is_match"), cfg, counters)
     decisions = make_decisions(comps, conv, pairs, cfg)
     # n_conv rides along so callers (bench_pipeline, profilers) don't pay a
-    # second full-corpus count job for a number this run already computed
+    # second full-corpus count job for a number this run already computed;
+    # conversations is the PERSISTED conv — callers joining against it
+    # reuse the populated cache instead of recomputing the kernel
     return {
+        "conversations": conv,
         "candidate_pairs": pairs,
         "components": comps,
         "decisions": decisions,
