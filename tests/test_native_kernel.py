@@ -122,3 +122,51 @@ def test_disable_env_falls_back():
     finally:
         os.environ.pop("TD_NATIVE_KERNEL", None)
         S._NATIVE_LIB = prev
+
+
+def test_native_probe_matches_numpy():
+    """td_probe_batch == probe_gram_matches, exactly — identical (idx, gh)
+    arrays over edge-case docs (sub-gram short, empty, multi-byte UTF-8,
+    duplicated pattern occurrences, shared patterns across docs) with
+    patterns drawn from the docs' own raw grams plus non-matching values."""
+    lib = _native_or_skip()
+    rng = np.random.default_rng(11)
+    k = 24
+    base = _rand_docs(60, seed=12)
+    docs = [
+        "",
+        "short",
+        "x" * (k - 1),
+        "x" * k,
+        "héllo wörld ☃ ünïcode beyond the gram width here padded out",
+    ] + base
+    docs.append(base[0])                      # duplicate doc
+    docs.append(base[1] + " " + base[1])      # repeated patterns inside one doc
+    pats = []
+    for d in docs[::3]:
+        gh = S.raw_gram_hashes(d, k).view(np.int64)
+        if gh.size:
+            pats.extend([int(gh[0]), int(gh[-1]), int(gh[gh.size // 2])])
+    pats.extend(int(v) for v in rng.integers(-2**63, 2**63, 50, dtype=np.int64))
+    pat_arr = np.unique(np.array(pats, dtype=np.int64))
+    bm = S.build_pattern_bitmap(pat_arr)
+    ri, rg = S.probe_gram_matches(docs, k, pat_arr, bm)
+    ni, ng = S._probe_native(docs, k, pat_arr, bm, lib)
+    assert ri.tolist() == ni.tolist()
+    assert rg.tolist() == ng.tolist()
+    assert ri.size > 0  # the fixture must actually exercise matches
+
+
+def test_native_probe_cap_regrow():
+    """More matches than the initial output cap -> the retry path returns
+    the complete, identical match set."""
+    lib = _native_or_skip()
+    k = 8
+    doc = "abcdefgh " * 2000  # one pattern matched thousands of times pre-dedup
+    docs = [doc, doc, "abcdefgh"]
+    gh = S.raw_gram_hashes(doc, k).view(np.int64)
+    pat_arr = np.unique(gh[:5000])
+    bm = S.build_pattern_bitmap(pat_arr)
+    ri, rg = S.probe_gram_matches(docs, k, pat_arr, bm)
+    ni, ng = S._probe_native(docs, k, pat_arr, bm, lib)
+    assert ri.tolist() == ni.tolist() and rg.tolist() == ng.tolist()

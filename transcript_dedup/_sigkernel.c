@@ -249,3 +249,54 @@ int64_t td_sig_batch(
     free(th); free(sh); free(gr); free(slots);
     return gram_total;
 }
+
+/* Tiny-path pattern probe: emit (doc index, pattern index) for every raw
+ * k-byte gram of each doc whose polynomial hash equals a pattern hash.
+ *
+ * Bit-identical to signatures.probe_gram_matches: the same POLY_P rolling
+ * window hash (position-normalized, NO splitmix — the probe matches raw
+ * gram hashes), the same low-bits bitmap prefilter, and an exact binary
+ * search over the signed-ascending pattern array (the numpy path sorts
+ * patterns as int64; comparisons here are int64 so indices agree).
+ * Windows never cross doc boundaries (per-doc loop == the numpy path's
+ * post-hoc boundary discard). Duplicate (doc, pattern) hits are emitted
+ * raw; the Python wrapper dedups exactly like the numpy path.
+ *
+ * Returns the number of matches found; if > out_cap the caller must retry
+ * with larger buffers (only the first out_cap are written). */
+int64_t td_probe_batch(
+    const uint8_t *data, const int64_t *offs, int64_t ndocs,
+    int64_t gram_k,
+    const int64_t *pat, int64_t npat,      /* ascending int64 order */
+    const uint8_t *bitmap, uint64_t bm_mask,
+    int64_t *out_doc, int64_t *out_pat, int64_t out_cap)
+{
+    if (npat <= 0) return 0;
+    uint64_t p_pow_k1 = 1; /* P^(gram_k-1) */
+    for (int64_t t = 0; t + 1 < gram_k; t++) p_pow_k1 *= POLY_P;
+    int64_t nout = 0;
+    for (int64_t d = 0; d < ndocs; d++) {
+        const uint8_t *x = data + offs[d];
+        const int64_t n = offs[d + 1] - offs[d];
+        if (n < gram_k) continue;
+        uint64_t G = 0, p = 1;
+        for (int64_t t = 0; t < gram_k; t++) { G += (uint64_t)x[t] * p; p *= POLY_P; }
+        for (int64_t i = 0;; i++) {
+            if (bitmap[G & bm_mask]) {
+                const int64_t g = (int64_t)G;
+                int64_t lo = 0, hi = npat;
+                while (lo < hi) {
+                    int64_t mid = (lo + hi) >> 1;
+                    if (pat[mid] < g) lo = mid + 1; else hi = mid;
+                }
+                if (lo < npat && pat[lo] == g) {
+                    if (nout < out_cap) { out_doc[nout] = d; out_pat[nout] = lo; }
+                    nout++;
+                }
+            }
+            if (i + gram_k >= n) break;
+            G = (G - (uint64_t)x[i]) * POLY_P_INV + (uint64_t)x[i + gram_k] * p_pow_k1;
+        }
+    }
+    return nout;
+}

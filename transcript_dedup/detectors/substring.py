@@ -203,7 +203,7 @@ def _tiny_pairs(
 
     import numpy as np
 
-    from ..signatures import build_pattern_bitmap, probe_gram_matches, raw_gram_hashes
+    from ..signatures import build_pattern_bitmap, raw_gram_hashes
 
     k = cfg.substring_gram_k
     long_rows = [(r["t_id"], r["t_text"]) for r in rows if len(r["t_text"]) >= k]
@@ -266,13 +266,20 @@ def _tiny_pairs(
         def probe(batches):
             import pandas as pd  # noqa: F811 (worker-side import)
 
+            from ..signatures import probe_gram_matches_best
+
             (p_arr, g_h1, g_start, g_cnt, n_tix, n_len, n_h2, n_texts) = bc.value
             # bitmap prefilter built once per task from the broadcast
             # pattern array (4 MiB; ~ms)
             bitmap = build_pattern_bitmap(p_arr)
             for pdf in batches:
                 texts = pdf["norm_text"].tolist()
-                idx, gh = probe_gram_matches(texts, k, p_arr, bitmap)
+                # native C rolling-hash scan when available (load-time
+                # parity-probed; bit-identical), numpy chunked pass
+                # otherwise — the numpy pass was this node's top compute
+                # (~24 core-s / 240k convs in SQL metrics, ~55 ns/byte of
+                # uint64 multiply+cumsum temporaries through DRAM)
+                idx, gh = probe_gram_matches_best(texts, k, p_arr, bitmap)
                 o_ids = pdf["cid"].to_numpy()
                 out_o: list[int] = []
                 out_t: list[int] = []
