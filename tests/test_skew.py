@@ -147,6 +147,42 @@ def test_lsh_prepass_counters_consistent(spark, skewed_conv):
         assert c_on[k] == c_off[k], (k, c_on, c_off)
 
 
+def test_lsh_prepass_scale_floor(spark, skewed_conv):
+    """n_conv at or below band_hot_prepass_min_rows skips the pre-pass
+    (no hot-key counters, no band-key cache registered) with a
+    bit-identical pair set; above the floor — or when n_conv is unknown —
+    the pre-pass runs as before."""
+    conv, cfg = skewed_conv
+    n = conv.count()
+    base = {
+        (r["conv_a"], r["conv_b"])
+        for r in lsh_candidates(conv, cfg).distinct().collect()
+    }
+    reg_small: list = []
+    c_small: dict = {}
+    small = {
+        (r["conv_a"], r["conv_b"])
+        for r in lsh_candidates(
+            conv, cfg, c_small, cache_registry=reg_small, n_conv=n
+        ).distinct().collect()
+    }
+    assert small == base and len(base) > 0
+    assert c_small["lsh_hot_keys_prepass"] == 0  # pre-pass skipped
+    assert reg_small == []  # no band-key cache without the pre-pass
+    c_big: dict = {}
+    big = {
+        (r["conv_a"], r["conv_b"])
+        for r in lsh_candidates(
+            conv,
+            cfg.with_(band_hot_prepass_min_rows=n - 1),
+            c_big,
+            n_conv=n,
+        ).distinct().collect()
+    }
+    assert big == base
+    assert c_big["lsh_hot_keys_prepass"] > 0  # pre-pass ran above the floor
+
+
 def test_substring_gramless_fallback_paths(spark, cfg):
     """Both fallback arms of the substring detector find containments the
     sampled-gram blocking cannot see: (a) a gramless-but-gram-length doc via

@@ -112,6 +112,21 @@ class DedupConfig:
     # falls back to the post-aggregation filter path. 0 disables the
     # pre-pass (tests use it for pair-set identity checks).
     band_hot_sample_mod: int = 20
+    # scale floor for the pre-pass: when the caller KNOWS the corpus row
+    # count (pipeline paths pass it) and it is at or below this bound, the
+    # pre-pass is skipped — the danger it guards against (one degenerate
+    # key buffering unbounded member lists in the collect_list aggregation)
+    # is arithmetically impossible to matter below it: a key's member list
+    # is at most n_conv cids, so the worst single aggregation buffer is
+    # 8*n_conv bytes (8 MB at this bound) — while the pre-pass itself costs
+    # two serial broadcast barriers plus a sample aggregation on the pairs
+    # job's critical path (measured ~1 s of the sf0.1 components query and
+    # two 3-4 s broadcast collects at 240k/pinned-4). The emitted pair set
+    # is identical either way (the post-aggregation stop/salt logic is the
+    # same decision procedure — pinned by the pair-set invariance test);
+    # only the memory bound depends on it, exactly like cc_driver_threshold.
+    # Callers that don't know the corpus size keep the pre-pass.
+    band_hot_prepass_min_rows: int = 1_000_000
 
     # --- internal id encoding -------------------------------------------------
     # cid = xxhash64(cid_seed, conv_id): the dictionary-encoded 8-byte id

@@ -121,6 +121,7 @@ def lsh_candidates(
     cfg: DedupConfig,
     counters: dict | None = None,
     cache_registry: list[DataFrame] | None = None,
+    n_conv: int | None = None,
 ) -> DataFrame:
     """conversations(minhash, n_shingles) -> (conv_a, conv_b, src='lsh'),
     cid-keyed (pairs canonically oriented by cid; the verify stage restores
@@ -147,7 +148,19 @@ def lsh_candidates(
     so the per-group lists stay tiny and the emitted pair count is unchanged.
     Duplicate pairs across bands are absorbed by the verify stage's
     groupBy(conv_a, conv_b), as before.
+
+    ``n_conv`` (optional): the corpus row count, when the caller already
+    knows it (the pipeline paths computed it for the cid-injectivity
+    assert). At or below cfg.band_hot_prepass_min_rows the hot-key
+    pre-pass is skipped — see the config field's rationale; the pair set
+    is identical either way, only the aggregation memory bound changes.
     """
+    if (
+        n_conv is not None
+        and n_conv <= cfg.band_hot_prepass_min_rows
+        and cfg.band_hot_sample_mod > 0
+    ):
+        cfg = cfg.with_(band_hot_sample_mod=0)
     keys = band_keys(conv, cfg)
     if cfg.lsh_cache_keys and cfg.band_hot_sample_mod > 0:
         # the hot-key pre-pass reads the band-key frame three times (sample

@@ -128,7 +128,13 @@ class DedupPipeline:
             cand = (
                 exact_candidates(conv)
                 .unionByName(
-                    lsh_candidates(conv, cfg, counters, cache_registry=key_caches)
+                    lsh_candidates(
+                        conv,
+                        cfg,
+                        counters,
+                        cache_registry=key_caches,
+                        n_conv=counters["n_conv_cid_checked"],
+                    )
                 )
                 .unionByName(
                     substring_candidates(
@@ -211,7 +217,7 @@ def run_dedup_dataframes(
     n_conv = assert_cid_unique(conv)
     key_caches: list = []
     cand = exact_candidates(conv).unionByName(
-        lsh_candidates(conv, cfg, counters, cache_registry=key_caches)
+        lsh_candidates(conv, cfg, counters, cache_registry=key_caches, n_conv=n_conv)
     )
     # overlap the LSH band-key cache population with the substring
     # detector's serial take-chain (below): the hot-key pre-pass's first
